@@ -1,38 +1,263 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an engine operator from SURVEY.md §2 over
+the driver's parquet tables; ``oracle_sql()`` carries the DuckDB-equivalent
+SQL. The transcript input (BASELINE.json input_hint) is derived from the
+``events`` table via a shared common-dialect SQL recipe so Spark and the
+DuckDB oracle compute identical input rows (see
+dlp_dataflow_deidentification_spark/sources/transcripts.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import dlp_dataflow_deidentification_spark as dds
+from dlp_dataflow_deidentification_spark.operators import sessionize as sess
+from dlp_dataflow_deidentification_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+KEY = "0123456789abcdef"
+
+# ---------------------------------------------------------------------------
+# shared input derivations (common Spark-SQL/DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+CARDS_SQL = """
+SELECT
+  c_custkey AS id,
+  c_name AS holder_name,
+  LPAD(CAST(c_custkey % 10000 AS STRING), 4, '0') AS card_pin,
+  LPAD(CAST(c_custkey % 900 + 100 AS STRING), 3, '0') || '-'
+    || LPAD(CAST(c_custkey % 89 + 10 AS STRING), 2, '0') || '-'
+    || LPAD(CAST(c_custkey % 9000 + 1000 AS STRING), 4, '0') AS ssn,
+  CAST(18 + (c_custkey % 82) AS INT) AS age,
+  CASE WHEN c_custkey % 5 = 0 THEN 'CIO'
+       WHEN c_custkey % 5 = 1 THEN 'CEO of Acme'
+       WHEN c_custkey % 5 = 2 THEN 'Software Engineer II'
+       WHEN c_custkey % 5 = 3 THEN 'Product Manager'
+       ELSE 'Janitor' END AS job_title,
+  'reach ' || c_name || ' at client' || CAST(c_custkey AS STRING)
+    || '@corp.example.org or 650-555-' || LPAD(CAST(c_custkey % 10000 AS STRING), 4, '0')
+    || CASE WHEN c_custkey % 3 = 0 THEN ' iban NO36 7396 1123 641 noted' ELSE '' END
+    || CASE WHEN c_custkey % 4 = 0
+            THEN ' uid name:' || LPAD(CAST(c_custkey AS STRING), 16, '0')
+            ELSE '' END AS notes,
+  '4111 1111 1111 ' || LPAD(CAST(c_custkey % 10000 AS STRING), 4, '0') AS card_number
+FROM customer
+"""
+
+TRANSCRIPT_DETECTORS = [
+    "EMAIL_ADDRESS",
+    "IBAN_CODE",
+    "CREDIT_CARD_NUMBER",
+    "US_SOCIAL_SECURITY_NUMBER",
+    "PHONE_NUMBER",
+    "ONLINE_USER_ID",
+]
+NOTES_DETECTORS = ["EMAIL_ADDRESS", "IBAN_CODE", "PHONE_NUMBER", "ONLINE_USER_ID"]
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
+
+
+def _cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
+    return spark.sql(CARDS_SQL)
+
+
+def _duck_regex_chain(expr: str, detector_names: list[str]) -> str:
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    for name in detector_names:
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '[{it.name}]', 'g')"
+    return expr
+
+
+def _transcripts_cte() -> str:
+    return f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_deid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tdf = _transcripts(spark, sf_dir)
+    template = dds.DeidTemplate.from_file(
+        os.path.join(HERE, "configs/deid_transcripts.json"), crypto_key=KEY
+    )
+    return dds.deidentify(tdf, template).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        sess.epoch_seconds(F.col("ts")).alias("ts_epoch"),
+    )
+
+
+def q_inspect_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tdf = _transcripts(spark, sf_dir)
+    return dds.inspect(
+        tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
+    ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
+
+
+def q_deid_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cards = _cards(spark, sf_dir)
+    template = dds.DeidTemplate.from_file(
+        os.path.join(HERE, "configs/deid_cards.json"), crypto_key=KEY
+    )
+    return dds.deidentify(cards, template).select(
+        "id", "card_pin", "ssn", "age", "job_title", "notes"
+    )
+
+
+def q_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cards = _cards(spark, sf_dir)
+    enc = cards.withColumn(
+        "holder_name", dds.transforms.crypto_deterministic(F.col("holder_name"), KEY)
+    ).withColumn("card_number", dds.transforms.crypto_deterministic(F.col("card_number"), KEY))
+    return dds.reidentify(enc, ["holder_name", "card_number"], KEY).select(
+        "id", "holder_name", "card_number"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sess.session_stats(_transcripts(spark, sf_dir), gap_seconds=1800)
+
+
+def q_agent_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sess.agent_tool_correlate(_transcripts(spark, sf_dir), max_lag_seconds=21600)
+
+
+def q_windowed_infotype_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tdf = _transcripts(spark, sf_dir)
+    findings = dds.inspect(
+        tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["ts"]
+    )
+    return (
+        findings.groupBy(F.window("ts", "1 hour").alias("w"), "info_type_name")
+        .count()
+        .select(
+            sess.epoch_seconds(F.col("w.start")).alias("window_start_epoch"),
+            "info_type_name",
+            F.col("count").alias("n_hits"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full transcript de-identification at sf0.001."""
+    return q_deid_transcripts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "deid_transcripts": q_deid_transcripts,
+        "inspect_findings": q_inspect_findings,
+        "deid_cards": q_deid_cards,
+        "crypto_roundtrip": q_crypto_roundtrip,
+        "sessionize": q_sessionize,
+        "agent_tool_join": q_agent_tool_join,
+        "windowed_infotype_hits": q_windowed_infotype_hits,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t = _transcripts_cte()
+    deid_text = _duck_regex_chain("text", TRANSCRIPT_DETECTORS)
+    deid_notes = _duck_regex_chain("notes", NOTES_DETECTORS)
+
+    inspect_parts = []
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    for name in TRANSCRIPT_DETECTORS:
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        inspect_parts.append(
+            f"SELECT conv_id, turn_idx, 'text' AS field_id, '{it.name}' AS info_type_name,"
+            f" 'LIKELY' AS likelihood,"
+            f" unnest(regexp_extract_all(text, '{pat}')) AS quote FROM transcripts"
+        )
+    inspect_union = " UNION ALL ".join(inspect_parts)
+
+    age_case = (
+        "CASE WHEN age >= 18 AND age < 30 THEN '20' WHEN age >= 30 AND age < 40 THEN '30' "
+        "WHEN age >= 40 AND age < 50 THEN '40' WHEN age >= 50 AND age < 60 THEN '50' "
+        "WHEN age >= 60 AND age < 99 THEN '60' ELSE CAST(age AS STRING) END"
+    )
+    job_case = (
+        "CASE WHEN job_title >= 'CIO' AND job_title < 'CIOz' THEN 'Executive' "
+        "WHEN job_title >= 'CEO' AND job_title < 'CEOz' THEN 'Executive' "
+        "WHEN job_title >= 'Vice President' AND job_title < 'Vice Presidentz' THEN 'Executive' "
+        "WHEN job_title >= 'Software Engineer' AND job_title < 'Software Engineerz' THEN 'Engineer' "
+        "WHEN job_title >= 'Product Manager' AND job_title < 'Product Managerz' THEN 'Manager' "
+        "ELSE job_title END"
+    )
+
+    return {
+        "deid_transcripts": (
+            f"{t} SELECT conv_id, turn_idx, role, {deid_text} AS text, tool,"
+            f" CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM transcripts"
+        ),
+        "inspect_findings": f"{t} {inspect_union}",
+        "deid_cards": (
+            f"WITH cards AS ({CARDS_SQL}) SELECT id,"
+            f" sha256('{KEY}' || card_pin) AS card_pin,"
+            f" '***-**-' || substr(ssn, 8) AS ssn,"
+            f" {age_case} AS age,"
+            f" {job_case} AS job_title,"
+            f" {deid_notes} AS notes"
+            f" FROM cards"
+        ),
+        "crypto_roundtrip": (
+            f"WITH cards AS ({CARDS_SQL}) SELECT id, holder_name, card_number FROM cards"
+        ),
+        "sessionize": (
+            f"{t}, e AS (SELECT conv_id, role, turn_idx, ts,"
+            f" CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM transcripts),"
+            f" l AS (SELECT *, lag(epoch_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_s FROM e),"
+            f" s AS (SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s <= 1800 THEN 0 ELSE 1 END AS new_s FROM l),"
+            f" r AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id FROM s)"
+            f" SELECT conv_id, session_id, COUNT(*) AS n_turns,"
+            f" CAST(SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS BIGINT) AS n_agent,"
+            f" CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,"
+            f" MIN(epoch_s) AS start_epoch, MAX(epoch_s) AS end_epoch"
+            f" FROM r GROUP BY conv_id, session_id"
+        ),
+        "agent_tool_join": (
+            f"{t} SELECT a.conv_id AS conv_id, a.turn_idx AS agent_turn_idx,"
+            f" b.turn_idx AS tool_turn_idx, b.tool AS tool_name,"
+            f" CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS lag_seconds"
+            f" FROM transcripts a JOIN transcripts b"
+            f" ON a.conv_id = b.conv_id AND a.role = 'agent' AND b.role = 'tool'"
+            f" AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND"
+        ),
+        "windowed_infotype_hits": (
+            f"{t}, f AS ({inspect_union.replace('conv_id, turn_idx,', 'ts,')})"
+            f" SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,"
+            f" info_type_name, COUNT(*) AS n_hits FROM f GROUP BY 1, 2"
+        ),
+    }

@@ -1,0 +1,73 @@
+"""Optional AES-SIV deterministic tokenization (strict DLP parity path).
+
+The reference's cryptoDeterministicConfig is AES-SIV (RFC 5297) under a
+KMS-wrapped key (/root/reference/src/main/resources/deid-template.json:212-231).
+The default engine path is the JVM-native ``transforms.crypto_deterministic``
+(AES-ECB, zero Python); this module provides true AES-SIV as an Arrow-batched
+pandas UDF for users who need misuse-resistant tokens. Gated behind a
+try-import so the package works without the ``cryptography`` wheel.
+"""
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+try:  # pragma: no cover - availability depends on environment
+    from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+
+    HAVE_AESSIV = True
+except Exception:  # pragma: no cover
+    AESSIV = None
+    HAVE_AESSIV = False
+
+
+def _require() -> None:
+    if not HAVE_AESSIV:
+        raise NotImplementedError(
+            "AES-SIV requires the 'cryptography' package; use "
+            "transforms.crypto_deterministic (native AES-ECB) instead"
+        )
+
+
+def aes_siv_encrypt(col: Column, key: bytes) -> Column:
+    """Deterministic AES-SIV tokenization, base64 output. Vectorized pandas UDF
+    (Arrow batches); the per-cell cipher call is C-backed."""
+    _require()
+    if len(key) not in (32, 48, 64):
+        raise ValueError("AES-SIV key must be 32/48/64 bytes")
+
+    @F.pandas_udf(StringType())
+    def _enc(s: pd.Series) -> pd.Series:
+        # import on the worker: the Rust-backed class does not cloudpickle
+        from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+
+        siv = AESSIV(key)
+        return s.map(
+            lambda v: None
+            if v is None
+            else base64.b64encode(siv.encrypt(str(v).encode(), None)).decode()
+        )
+
+    return _enc(col)
+
+
+def aes_siv_decrypt(col: Column, key: bytes) -> Column:
+    """Inverse of aes_siv_encrypt (REID, DLPReidentifyText.java:323-381)."""
+    _require()
+
+    @F.pandas_udf(StringType())
+    def _dec(s: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+
+        siv = AESSIV(key)
+        return s.map(
+            lambda v: None
+            if v is None
+            else siv.decrypt(base64.b64decode(v), None).decode()
+        )
+
+    return _dec(col)

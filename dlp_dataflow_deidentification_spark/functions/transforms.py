@@ -1,0 +1,263 @@
+"""Primitive de-identification transforms as native Spark Column expressions.
+
+Re-implements the DLP primitive transformations the reference invokes remotely
+(template: /root/reference/src/main/resources/deid-template.json; call site
+/root/reference/src/main/java/com/google/swarm/tokenization/beam/DLPDeidentifyText.java:325-382).
+
+Design rule: every transform is a *native* Spark SQL expression (JVM-side,
+whole-stage codegen, no Python in the hot path). The only pandas-UDF escape
+hatch in this package is the optional AES-SIV tokenizer in ``crypto.py`` and
+the offset-reporting inspector in ``operators/inspect.py``.
+
+Transforms:
+  - replace_with_infotype  (deid-template.json:188-211, replaceWithInfoTypeConfig)
+  - redact / replace_value (DLP redactConfig / replaceConfig)
+  - character_mask         (deid-template.json:34-45, characterMaskConfig)
+  - crypto_hash            (deid-template.json:17-27, cryptoHashConfig)
+  - crypto_deterministic / crypto_reidentify
+                           (deid-template.json:212-231; reverse path
+                            /root/reference/src/main/resources/re-identify-config.config:8-27)
+  - bucketing (numeric + string)  (deid-template.json:52-181, bucketingConfig)
+  - fixed_size_bucketing   (DLP fixedSizeBucketingConfig)
+  - date_shift             (DLP dateShiftConfig, deterministic per context key)
+"""
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .infotypes import InfoType, resolve
+
+# ---------------------------------------------------------------------------
+# infoType transformations over free text
+# ---------------------------------------------------------------------------
+
+
+def replace_with_infotype(col: Column, detectors: Iterable["str | InfoType"]) -> Column:
+    """Replace every detector match in a free-text cell with ``[INFO_TYPE_NAME]``.
+
+    Engine-defined overlap rule (same rule in the Python + DuckDB oracles):
+    detectors apply sequentially in the given order, each as a global
+    leftmost-first replacement. JVM-side regexp_replace chain — zero Python.
+    """
+    out = col
+    for d in detectors:
+        it = resolve(d)
+        out = F.regexp_replace(out, it.pattern, f"[{it.name}]")
+    return out
+
+
+def redact(col: Column, detectors: Iterable["str | InfoType"]) -> Column:
+    """Delete every detector match (DLP redactConfig)."""
+    out = col
+    for d in detectors:
+        out = F.regexp_replace(out, resolve(d).pattern, "")
+    return out
+
+
+def replace_value(col: Column, detectors: Iterable["str | InfoType"], new_value: str) -> Column:
+    """Replace every detector match with a fixed value (DLP replaceConfig)."""
+    out = col
+    for d in detectors:
+        out = F.regexp_replace(out, resolve(d).pattern, new_value)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# characterMaskConfig
+# ---------------------------------------------------------------------------
+
+
+def character_mask(
+    col: Column,
+    masking_character: str = "*",
+    number_to_mask: int = 0,
+    reverse_order: bool = False,
+    characters_to_skip: str = "",
+) -> Column:
+    """Mask characters with ``masking_character`` (DLP characterMaskConfig).
+
+    ``number_to_mask`` = how many *maskable* (non-skipped) characters to mask
+    from the front (or the back when ``reverse_order``); 0 means mask all
+    maskable characters. Skipped characters are preserved and do not count.
+
+    Implementation stays JVM-native: when there are no skip characters a
+    single substring/repeat expression suffices; with skip characters the
+    mask is applied as ``number_to_mask`` chained one-char regexp_replace
+    steps (N is small and config-time constant, so the chain is constant
+    depth and fully codegen'd).
+    """
+    s = col.cast("string")
+    m = masking_character
+    if number_to_mask <= 0:
+        # mask everything maskable
+        if not characters_to_skip:
+            return _repeat_mask(s, m)
+        klass = _char_class(characters_to_skip)
+        return F.regexp_replace(s, f"[^{klass}]", _java_repl_escape(m))
+
+    if not characters_to_skip:
+        n = number_to_mask
+        if reverse_order:
+            keep = F.greatest(F.length(s) - F.lit(n), F.lit(0))
+            return F.concat(
+                F.substring(s, 1, 2147483647).substr(F.lit(1), keep),
+                _mask_lit(F.least(F.lit(n), F.length(s)), m),
+            )
+        return F.concat(
+            _mask_lit(F.least(F.lit(n), F.length(s)), m),
+            F.substring(s, n + 1, 2147483647),
+        )
+
+    # skip characters present: unroll N single-char masking steps.
+    skip_klass = _char_class(characters_to_skip + masking_character)
+    out = s
+    if reverse_order:
+        pat = f"[^{skip_klass}]([{skip_klass}]*)$"
+        repl = _java_repl_escape(m) + "$1"
+    else:
+        pat = f"^([{skip_klass}]*)[^{skip_klass}]"
+        repl = "$1" + _java_repl_escape(m)
+    for _ in range(number_to_mask):
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _repeat_mask(s: Column, m: str) -> Column:
+    return F.rpad(F.lit(""), F.length(s), m)
+
+
+def _mask_lit(n: Column, m: str) -> Column:
+    return F.rpad(F.lit(""), n, m)
+
+
+def _char_class(chars: str) -> str:
+    # escape for inside a regex character class
+    return "".join("\\" + c if c in r"\^]-[" else c for c in sorted(set(chars)))
+
+
+def _java_repl_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+# ---------------------------------------------------------------------------
+# cryptoHashConfig — irreversible keyed surrogate
+# ---------------------------------------------------------------------------
+
+
+def crypto_hash(col: Column, key: str) -> Column:
+    """Irreversible keyed deterministic surrogate of the whole cell.
+
+    The reference wraps an HMAC-SHA-256 under a KMS key
+    (deid-template.json:17-27). In-process we use the keyed-prefix SHA-256
+    construction ``sha256(key || value)`` (hex) — same contract (deterministic,
+    irreversible, keyed), expressible natively in Spark AND in the DuckDB
+    oracle. For strict HMAC parity use crypto.aes_siv_* instead.
+    """
+    s = col.cast("string")
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(
+        F.sha2(F.concat(F.lit(key), s), 256)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cryptoDeterministicConfig — reversible deterministic tokenization
+# ---------------------------------------------------------------------------
+
+
+def crypto_deterministic(col: Column, key: str, surrogate_info_type: str | None = None) -> Column:
+    """Reversible deterministic tokenization (DLP AES-SIV analogue).
+
+    Native fast path: AES-ECB over the UTF-8 cell (deterministic: identical
+    plaintext → identical token), base64-encoded, optionally wrapped in a
+    ``SURROGATE(len):token`` envelope like DLP's surrogateInfoType
+    (deid-template.json:212-231). ECB on independent short cells gives the
+    same per-cell determinism contract as AES-SIV; the AES-SIV code path
+    (crypto.py) is available when rotating-key misuse-resistance is required.
+
+    ``key`` must be 16/24/32 ASCII characters (AES key sizes).
+    """
+    _check_key(key)
+    s = col.cast("string")
+    tok = F.base64(F.aes_encrypt(s.cast("binary"), F.lit(key), F.lit("ECB"), F.lit("PKCS")))
+    if surrogate_info_type:
+        tok = F.concat(
+            F.lit(surrogate_info_type + "("),
+            F.length(tok).cast("string"),
+            F.lit("):"),
+            tok,
+        )
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(tok)
+
+
+def crypto_reidentify(col: Column, key: str, surrogate_info_type: str | None = None) -> Column:
+    """Inverse of crypto_deterministic (reference REID path:
+    /root/reference/src/main/java/com/google/swarm/tokenization/beam/DLPReidentifyText.java:323-381)."""
+    _check_key(key)
+    s = col.cast("string")
+    if surrogate_info_type:
+        # strip "NAME(len):" envelope
+        s = F.regexp_replace(s, r"^[A-Z0-9_]+\([0-9]+\):", "")
+    return F.aes_decrypt(F.unbase64(s), F.lit(key), F.lit("ECB"), F.lit("PKCS")).cast("string")
+
+
+def _check_key(key: str) -> None:
+    if len(key.encode()) not in (16, 24, 32):
+        raise ValueError("AES key must be 16/24/32 bytes")
+
+
+# ---------------------------------------------------------------------------
+# bucketingConfig
+# ---------------------------------------------------------------------------
+
+
+def bucketing(
+    col: Column,
+    buckets: Sequence[tuple[object, object, str]],
+    numeric: bool = True,
+) -> Column:
+    """Range-bucket a value (DLP bucketingConfig, deid-template.json:52-181).
+
+    ``buckets`` = [(min, max, replacement)] with min inclusive / max exclusive
+    (DLP semantics). Numeric buckets compare as double; string buckets compare
+    lexicographically. Values outside every bucket pass through stringified.
+    Pure when/otherwise chain → CASE WHEN in the plan, codegen'd.
+    """
+    v = col.cast("double") if numeric else col.cast("string")
+    expr: Column | None = None
+    for lo, hi, repl in buckets:
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        expr = F.when(cond, F.lit(repl)) if expr is None else expr.when(cond, F.lit(repl))
+    if expr is None:
+        return col.cast("string")
+    return expr.otherwise(col.cast("string"))
+
+
+def fixed_size_bucketing(col: Column, lower: float, upper: float, size: float) -> Column:
+    """DLP fixedSizeBucketingConfig: clamp + fixed-width buckets labeled 'lo-hi'."""
+    v = col.cast("double")
+    lo, hi, w = F.lit(float(lower)), F.lit(float(upper)), float(size)
+    start = F.lit(float(lower)) + F.floor((v - lo) / F.lit(w)) * F.lit(w)
+    label = F.concat(start.cast("string"), F.lit("-"), (start + F.lit(w)).cast("string"))
+    return (
+        F.when(v < lo, F.concat(F.lit("<"), lo.cast("string")))
+        .when(v >= hi, F.concat(F.lit(">="), hi.cast("string")))
+        .otherwise(label)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dateShiftConfig — deterministic per-context-key shift
+# ---------------------------------------------------------------------------
+
+
+def date_shift(col: Column, context: Column, key: str, max_days: int = 100) -> Column:
+    """Shift a date/timestamp by a deterministic per-context number of days in
+    [-max_days, max_days] (DLP dateShiftConfig with cryptoKey context)."""
+    span = 2 * max_days + 1
+    days = F.pmod(F.xxhash64(F.concat(F.lit(key), context.cast("string"))), F.lit(span)) - F.lit(
+        max_days
+    )
+    return F.timestamp_add("DAY", days.cast("int"), col.cast("timestamp"))

@@ -1,0 +1,47 @@
+"""DEID / REID record operators.
+
+Spark-first re-expression of the reference's DLPTransform DEID/REID paths
+(/root/reference/src/main/java/com/google/swarm/tokenization/common/DLPTransform.java:110-181,
+remote call beam/DLPDeidentifyText.java:325-382; REID beam/DLPReidentifyText.java:323-381).
+The reference shards rows, buffers them in keyed state, and ships ≤524,000-byte
+micro-tables to the DLP service; in-process none of that is needed — each
+transform is a native Column expression applied in one narrow projection, so
+the whole DEID stage is a single WholeStageCodegen span with no shuffle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..plans.config import DeidTemplate
+from ..functions import transforms
+
+
+def deidentify(df: DataFrame, template: DeidTemplate) -> DataFrame:
+    """Apply a compiled DeidTemplate; schema-preserving (transformed columns
+    become strings, like the reference's all-STRING BigQuery output —
+    DLPTextToBigQueryStreaming.java:845-846)."""
+    cols = set(df.columns)
+    out = df
+    for ft in template.transformations:
+        for name in ft.fields:
+            if name not in cols:
+                continue
+            out = out.withColumn(name, ft.builder(out[name]))
+    return out
+
+
+def reidentify(
+    df: DataFrame,
+    columns: list[str],
+    key: str,
+    surrogate_info_type: str | None = None,
+) -> DataFrame:
+    """Reverse deterministic tokenization on selected columns (reference REID:
+    re-identify-config.config:8-27; output table suffix `_re_id`,
+    common/DLPTransform.java:196-197)."""
+    out = df
+    for name in columns:
+        out = out.withColumn(
+            name, transforms.crypto_reidentify(out[name], key, surrogate_info_type)
+        )
+    return out

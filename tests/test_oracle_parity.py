@@ -1,0 +1,61 @@
+"""Emulates the driver's correctness gate: every queries() entry must match
+its oracle_sql() on DuckDB — row count, column names, and order-insensitive
+values — over the same parquet tables."""
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(lambda v: v.decode() if isinstance(v, (bytes, bytearray)) else v)
+        try:
+            pdf[c] = pd.to_numeric(pdf[c])
+        except (ValueError, TypeError):
+            pass
+        if pdf[c].dtype == "float64":
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    got = canon(q(spark, sf_dir).toPandas())
+    if name not in oracles:
+        assert len(got) >= 0  # rows-only check, mirrors the driver's weak path
+        return
+    want = canon(duck_con(sf_dir).execute(oracles[name]).df())
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(["conv_id", "turn_idx", "text"]).issubset(df.columns)

@@ -1,0 +1,156 @@
+"""Unit tests for the primitive transforms against hand-computed goldens
+(DLP semantics per /root/reference/src/main/resources/deid-template.json;
+reference test model: src/test/java/com/google/swarm/tokenization/*Test.java)."""
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_dataflow_deidentification_spark.functions import transforms, crypto
+
+KEY16 = "0123456789abcdef"
+
+
+def col_of(spark, values, dtype="string"):
+    return spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+
+
+def run1(spark, values, expr_fn, dtype="string"):
+    df = col_of(spark, values, dtype)
+    return [r[0] for r in df.select(expr_fn(F.col("v")).alias("o")).collect()]
+
+
+def test_character_mask_skip_chars(spark):
+    # deid-template.json:34-45 — SSN, mask 5, skip '-': 552-09-6781 → ***-**-6781
+    out = run1(
+        spark,
+        ["552-09-6781", "123456789", "12", None],
+        lambda c: transforms.character_mask(c, "*", 5, False, "-"),
+    )
+    assert out == ["***-**-6781", "*****6789", "**", None]
+
+
+def test_character_mask_no_skip_forward_and_reverse(spark):
+    out = run1(spark, ["abcdef", "ab"], lambda c: transforms.character_mask(c, "#", 3))
+    assert out == ["###def", "##"]
+    out = run1(
+        spark, ["abcdef", "ab"], lambda c: transforms.character_mask(c, "#", 3, reverse_order=True)
+    )
+    assert out == ["abc###", "##"]
+
+
+def test_character_mask_all(spark):
+    assert run1(spark, ["abc-def"], lambda c: transforms.character_mask(c, "*")) == ["*******"]
+    assert run1(
+        spark, ["abc-def"], lambda c: transforms.character_mask(c, "*", 0, False, "-")
+    ) == ["***-***"]
+
+
+def test_crypto_hash_deterministic_keyed(spark):
+    import hashlib
+
+    out = run1(spark, ["1234", "1234", "9999", None], lambda c: transforms.crypto_hash(c, KEY16))
+    assert out[0] == out[1] != out[2]
+    assert out[0] == hashlib.sha256((KEY16 + "1234").encode()).hexdigest()
+    assert out[3] is None
+
+
+def test_crypto_deterministic_roundtrip(spark):
+    vals = ["Marilyn Monroe", "4111-1111-1111-1111", "", "Marilyn Monroe"]
+    df = col_of(spark, vals)
+    enc = df.select(transforms.crypto_deterministic(F.col("v"), KEY16).alias("t"))
+    toks = [r[0] for r in enc.collect()]
+    assert toks[0] == toks[3] and toks[0] != toks[1]  # deterministic
+    dec = enc.select(transforms.crypto_reidentify(F.col("t"), KEY16).alias("v"))
+    assert [r[0] for r in dec.collect()] == vals
+
+
+def test_crypto_deterministic_surrogate_envelope(spark):
+    df = col_of(spark, ["bob"])
+    tok = df.select(
+        transforms.crypto_deterministic(F.col("v"), KEY16, "NAME_TOKEN").alias("t")
+    )
+    t = tok.collect()[0][0]
+    assert t.startswith("NAME_TOKEN(") and "):" in t
+    back = tok.select(transforms.crypto_reidentify(F.col("t"), KEY16, "NAME_TOKEN").alias("v"))
+    assert back.collect()[0][0] == "bob"
+
+
+def test_aes_siv_roundtrip(spark):
+    if not crypto.HAVE_AESSIV:
+        pytest.skip("cryptography not installed")
+    key = b"k" * 32
+    df = col_of(spark, ["alice", "alice", "bob"])
+    enc = df.select(crypto.aes_siv_encrypt(F.col("v"), key).alias("t"))
+    toks = [r[0] for r in enc.collect()]
+    assert toks[0] == toks[1] != toks[2]
+    dec = enc.select(crypto.aes_siv_decrypt(F.col("t"), key).alias("v"))
+    assert [r[0] for r in dec.collect()] == ["alice", "alice", "bob"]
+
+
+def test_bucketing_numeric_age(spark):
+    # deid-template.json:52-112 — Age buckets [18,30)→20 ... [60,99)→60
+    buckets = [(18, 30, "20"), (30, 40, "30"), (40, 50, "40"), (50, 60, "50"), (60, 99, "60")]
+    out = run1(
+        spark,
+        [18, 29, 30, 59, 60, 98, 99, 5],
+        lambda c: transforms.bucketing(c, buckets, numeric=True),
+        dtype="int",
+    )
+    assert out == ["20", "20", "30", "50", "60", "60", "99", "5"]
+
+
+def test_bucketing_string_jobtitle(spark):
+    # deid-template.json:120-181 — lexicographic ranges
+    buckets = [
+        ("CIO", "CIOz", "Executive"),
+        ("CEO", "CEOz", "Executive"),
+        ("Vice President", "Vice Presidentz", "Executive"),
+        ("Software Engineer", "Software Engineerz", "Engineer"),
+        ("Product Manager", "Product Managerz", "Manager"),
+    ]
+    out = run1(
+        spark,
+        ["CIO", "CEO of X", "Software Engineer II", "Product Manager", "Janitor"],
+        lambda c: transforms.bucketing(c, buckets, numeric=False),
+    )
+    assert out == ["Executive", "Executive", "Engineer", "Manager", "Janitor"]
+
+
+def test_fixed_size_bucketing(spark):
+    out = run1(
+        spark,
+        [5.0, 10.0, 19.5, 20.0, 35.0, 100.0],
+        lambda c: transforms.fixed_size_bucketing(c, 10, 100, 10),
+        dtype="double",
+    )
+    assert out == ["<10.0", "10.0-20.0", "10.0-20.0", "20.0-30.0", "30.0-40.0", ">=100.0"]
+
+
+def test_redact_and_replace_value(spark):
+    out = run1(
+        spark,
+        ["mail a@b.co now"],
+        lambda c: transforms.redact(c, ["EMAIL_ADDRESS"]),
+    )
+    assert out == ["mail  now"]
+    out = run1(
+        spark,
+        ["mail a@b.co now"],
+        lambda c: transforms.replace_value(c, ["EMAIL_ADDRESS"], "<gone>"),
+    )
+    assert out == ["mail <gone> now"]
+
+
+def test_date_shift_deterministic_bounded(spark):
+    df = spark.createDataFrame(
+        [("2024-01-15 00:00:00", "u1"), ("2024-01-15 00:00:00", "u1"), ("2024-01-15 00:00:00", "u2")],
+        "d string, k string",
+    )
+    out = df.select(
+        transforms.date_shift(F.col("d"), F.col("k"), KEY16, max_days=10).alias("o")
+    ).collect()
+    import datetime
+
+    base = datetime.datetime(2024, 1, 15)
+    days = [(r[0] - base).days for r in out]
+    assert days[0] == days[1]  # same context key → same shift
+    assert all(-10 <= d <= 10 for d in days)
