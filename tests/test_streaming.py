@@ -1,0 +1,226 @@
+"""Structured Streaming tests: streaming results must equal the batch oracle
+row-for-row; the sink must be exactly-once under retries and checkpoint
+resume (reference test model: BatchRequestForDLPTest.java TestStream cases,
+SURVEY.md §5)."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import dlp_dataflow_deidentification_spark as dds
+from dlp_dataflow_deidentification_spark.operators import sessionize as sess
+from dlp_dataflow_deidentification_spark.sources.transcripts import synthesize_transcripts
+from dlp_dataflow_deidentification_spark.streaming import jobs, joins, metrics, windows
+from dlp_dataflow_deidentification_spark.streaming.sink import IdempotentBatchSink
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_TURNS = 4000
+
+
+@pytest.fixture(scope="module")
+def template():
+    return dds.DeidTemplate.from_file(os.path.join(HERE, "configs/deid_transcripts.json"))
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    tdf = synthesize_transcripts(spark, N_TURNS, n_conversations=200)
+    # several files so maxFilesPerTrigger can slice micro-batches
+    tdf.repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def rows_key(r):
+    return (r["conv_id"], r["turn_idx"])
+
+
+def test_streaming_deid_equals_batch(spark, tmp_path, input_dir, template):
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    job.run_to_completion()
+    got = {
+        rows_key(r): r["text"]
+        for r in job.sink().read_committed(spark).select("conv_id", "turn_idx", "text").collect()
+    }
+    want = {
+        rows_key(r): r["text"]
+        for r in dds.deidentify(spark.read.parquet(input_dir), template)
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    }
+    assert got == want and len(got) == N_TURNS
+    # lineage recorded per batch
+    lin = job.sink().lineage()
+    assert sum(e["metrics"]["n_rows"] for e in lin) == N_TURNS
+    assert all("min_event_time" in e["metrics"] for e in lin)
+
+
+def test_sink_idempotent_on_batch_replay(spark, tmp_path, input_dir, template):
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    bdf = dds.deidentify(spark.read.parquet(input_dir), template)
+    sink(bdf, 7)
+    n1 = sink.read_committed(spark).count()
+    sink(bdf, 7)  # foreachBatch retry of the same batch id → no-op
+    assert sink.read_committed(spark).count() == n1 == N_TURNS
+    assert sink.committed_ids() == [7]
+
+
+def test_checkpoint_resume_no_dupes_no_loss(spark, tmp_path, template):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = synthesize_transcripts(spark, 1000, n_conversations=50)
+    first.coalesce(2).write.mode("overwrite").parquet(in_dir)
+
+    job = jobs.StreamingDeidJob(spark, template, in_dir, out_dir, ckpt)
+    job.run_to_completion()
+    assert job.sink().read_committed(spark).count() == 1000
+
+    # "kill" (query already stopped) then land new files and resume from ckpt
+    more = synthesize_transcripts(spark, 1000, n_conversations=50, start_ts="2026-02-01 00:00:00")
+    more.coalesce(2).write.mode("append").parquet(in_dir)
+    job2 = jobs.StreamingDeidJob(spark, template, in_dir, out_dir, ckpt)
+    job2.run_to_completion()
+
+    out = job2.sink().read_committed(spark)
+    assert out.count() == 2000  # no loss
+    assert out.groupBy("conv_id", "turn_idx", "ts").count().filter("count > 1").count() == 0
+
+
+def test_windowed_hits_stream_equals_batch(spark, tmp_path, input_dir, template):
+    dets = [d.name for d in template.detectors]
+    # watermark-flush sentinel: one far-future row lets append mode emit all
+    # real windows before availableNow drains
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.write.mode("append").parquet(str(tmp_path / "win_in"))
+    spark.read.parquet(input_dir).write.mode("append").parquet(str(tmp_path / "win_in"))
+
+    stream = jobs.read_transcript_stream(spark, str(tmp_path / "win_in"))
+    agg = windows.windowed_infotype_hits(stream, dets, window="10 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_hits")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.info_type_name): r.n_hits
+        for r in spark.table("win_hits").collect()
+    }
+    batch = windows.windowed_infotype_hits(
+        spark.read.parquet(input_dir), dets, window="10 minutes", watermark="1 minute"
+    )
+    want = {
+        (r.window_start, r.info_type_name): r.n_hits for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path, input_dir):
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sess_in")
+    flush.write.mode("append").parquet(d)
+    spark.read.parquet(input_dir).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d)
+    agg = windows.session_window_stats(stream, gap="5 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.session_start): (r.n_turns, r.n_agent, r.n_tool)
+        for r in spark.table("sess_stats").filter("conv_id <> '__flush__'").collect()
+    }
+    want = {
+        (r.conv_id, r.session_start): (r.n_turns, r.n_agent, r.n_tool)
+        for r in windows.session_window_stats(
+            spark.read.parquet(input_dir), gap="5 minutes", watermark="1 minute"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # hot key present and sessionized
+    assert any(k[0] == "conv-hot" for k in got)
+
+
+def test_stream_stream_join_equals_batch(spark, input_dir):
+    stream = jobs.read_transcript_stream(spark, input_dir)
+    joined = joins.agent_tool_stream_join(stream, max_lag_seconds=3600, watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("at_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.agent_turn_idx, r.tool_turn_idx)
+        for r in spark.table("at_join").collect()
+    }
+    want = {
+        (r.conv_id, r.agent_turn_idx, r.tool_turn_idx)
+        for r in sess.agent_tool_correlate(
+            spark.read.parquet(input_dir), max_lag_seconds=3600
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_progress_capture_metrics(spark, tmp_path, input_dir, template):
+    cap = metrics.ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        job = jobs.StreamingDeidJob(
+            spark,
+            template,
+            input_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=2,
+        )
+        job.run_to_completion()
+        import time
+
+        for _ in range(40):  # listener events are delivered asynchronously
+            if cap.total_rows() >= N_TURNS:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(cap)
+    assert cap.total_rows() == N_TURNS
+    assert len([b for b in cap.batches if b.num_input_rows > 0]) >= 3  # sliced micro-batches
+    assert cap.p50_batch_ms() > 0
+    assert cap.throughput_rows_per_sec() > 0
+
+
+def test_salted_repartition_spreads_hot_key(spark, input_dir):
+    from dlp_dataflow_deidentification_spark.operators.skew import salted_repartition
+
+    df = spark.read.parquet(input_dir).filter(F.col("conv_id") == "conv-hot")
+    assert df.count() > 100
+    parts = (
+        salted_repartition(df, "conv_id", 16, "turn_idx")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+    )
+    assert parts.count() >= 8  # one hot conversation spans many partitions
