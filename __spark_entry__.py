@@ -66,6 +66,17 @@ TRANSCRIPT_DETECTORS = [
 ]
 NOTES_DETECTORS = ["EMAIL_ADDRESS", "IBAN_CODE", "PHONE_NUMBER", "ONLINE_USER_ID"]
 
+# documents ∪ planted near-dups (+100000, one appended token) ∪ exact dups
+# (+200000) — deterministic dedup corpus shared by engine and oracle
+DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' trailing marker token' AS text
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
@@ -162,6 +173,103 @@ def q_windowed_infotype_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(DOCS_SQL)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir).filter("doc_id % 5 = 0 OR doc_id >= 100000")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=5, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir).filter("doc_id % 5 = 0 OR doc_id >= 100000")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, qs, k=10)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, qs, k=10, n_planes=8, n_tables=4)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.embedding_dedup_pairs(emb.unionByName(dup), threshold=0.99)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlp_dataflow_deidentification_spark.streaming import windows
+
+    tdf = _transcripts(spark, sf_dir)
+    out = windows.session_window_stats(tdf, gap="30 minutes", watermark="1 minute")
+    return out.select(
+        "conv_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        "n_turns",
+        F.col("n_agent").cast("long").alias("n_agent"),
+        F.col("n_tool").cast("long").alias("n_tool"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -176,6 +284,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "agent_tool_join": q_agent_tool_join,
         "windowed_infotype_hits": q_windowed_infotype_hits,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "text_metrics": q_text_metrics,
+        "session_windows": q_session_windows,
     }
 
 
@@ -260,4 +377,108 @@ def oracle_sql() -> dict[str, str]:
             f" SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,"
             f" info_type_name, COUNT(*) AS n_hits FROM f GROUP BY 1, 2"
         ),
+        "exact_dedup": (
+            f"WITH docs AS ({DOCS_SQL})"
+            f" SELECT min(doc_id) AS doc_id, count(*) AS n_copies"
+            f" FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM docs)"
+            f" GROUP BY norm"
+        ),
+        "ngram_jaccard": (
+            f"WITH docs AS ({DOCS_SQL}),"
+            f" filt AS (SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000),"
+            f" words AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM filt),"
+            f" sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g"
+            f"        FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
+            f"        WHERE len(w) >= 5),"
+            f" sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            f" pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common"
+            f"           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id"
+            f"           GROUP BY 1, 2)"
+            f" SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard"
+            f" FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
+            f" WHERE common / (sa.n + sb.n - common) >= 0.5"
+        ),
+        # minhash_dedup / simhash_dedup / ann_lsh_topk: xxhash64-based
+        # signatures are not expressible in DuckDB → rows-only driver check;
+        # ground-truth recall is pinned by tests/test_dedup.py +
+        # tests/test_similarity.py instead.
+        "cosine_topk": (
+            " WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+            "            FROM embeddings WHERE vec_id % 100 = 0),"
+            " scored AS (SELECT q.query_id, e.vec_id,"
+            "   list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim"
+            "   FROM embeddings e, q),"
+            " ranked AS (SELECT *, row_number() OVER"
+            "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
+            " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
+        ),
+        "embedding_dedup": (
+            " WITH ecorpus AS (SELECT vec_id, embedding FROM embeddings"
+            "   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "         CAST(b.embedding AS DOUBLE[])), 6) AS sim"
+            " FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "       CAST(b.embedding AS DOUBLE[])) >= 0.99"
+        ),
+        "text_metrics": _text_metrics_oracle(),
+        "session_windows": (
+            f"{t}, e AS (SELECT conv_id, role, turn_idx, ts, epoch_us(ts) AS us FROM transcripts),"
+            f" l AS (SELECT *, lag(us) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS pus FROM e),"
+            f" s AS (SELECT *, CASE WHEN pus IS NULL OR us - pus < 1800000000 THEN 0 ELSE 1 END AS new_s FROM l),"
+            f" r AS (SELECT *, SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx"
+            f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)"
+            f" SELECT conv_id, min(us) AS session_start_us, count(*) AS n_turns,"
+            f" CAST(SUM(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS BIGINT) AS n_agent,"
+            f" CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool"
+            f" FROM r GROUP BY conv_id, sid"
+        ),
     }
+
+
+def _text_metrics_oracle() -> str:
+    from dlp_dataflow_deidentification_spark.functions.text import LANG_STOPWORDS
+
+    def sw(words):
+        return (
+            "len(regexp_extract_all(lower(text), '\\b(?:" + "|".join(words) + ")\\b'))"
+        )
+
+    hits = {lang: sw(ws) for lang, ws in LANG_STOPWORDS.items()}
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    punct = (
+        "CASE WHEN length(text) > 0 THEN"
+        " (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+        " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+    )
+    toks_d = f"CAST({n_tokens} AS DOUBLE)"
+    quality = (
+        f"round(least({toks_d} / 64.0, 1.0) * 0.4"
+        f" + least({hits['en']} / greatest({toks_d}, 1.0) * 4.0, 1.0) * 0.3"
+        f" + (1.0 - least(({punct}) * 5.0, 1.0)) * 0.3, 6)"
+    )
+    # argmax over (hits, lang) with the same lexicographic tie rule as the
+    # engine's array_max over struct(hits, lang): the winner dominates every
+    # other (hits, lang) tuple (unique since lang codes are distinct)
+    langs = sorted(LANG_STOPWORDS)
+    lang_case = "CASE "
+    for l in langs:
+        cond = " AND ".join(
+            f"({hits[l]}, '{l}') >= ({hits[o]}, '{o}')" for o in langs if o != l
+        )
+        lang_case += f"WHEN {cond} THEN CASE WHEN {hits[l]} > 0 THEN '{l}' ELSE 'und' END "
+    lang_case += "ELSE 'und' END"
+    return (
+        "SELECT doc_id,"
+        f" CAST({n_tokens} AS BIGINT) AS n_tokens,"
+        " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,"
+        f" round({punct}, 6) AS punct_ratio,"
+        f" {quality} AS quality,"
+        f" {lang_case} AS lang_pred,"
+        " md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
+        " FROM documents"
+    )

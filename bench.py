@@ -1,0 +1,136 @@
+"""Benchmark driver: headline queries + streaming deid throughput.
+
+Runs every __spark_entry__ query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], then an end-to-end streaming de-identification job
+over a synthesized transcript stream, and prints ONE JSON line:
+
+  {"metric": ..., "value": <total query sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "streaming": {...}}
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STREAM_TURNS = int(os.environ.get("SPARK_GRAFT_STREAM_TURNS", "1000000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dlp-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    # warmup pass at the smallest sf: JVM/codegen/parquet-footer caches are
+    # not part of the engine's steady-state cost
+    for fn in E.queries().values():
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        # noop sink: full execution, no driver-side materialization cost
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_streaming_bench(spark) -> dict:
+    """End-to-end deidentified-turns/sec with p50 micro-batch latency
+    (BASELINE.json headline metric) over a synthesized transcript stream."""
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.sources.transcripts import synthesize_transcripts
+    from dlp_dataflow_deidentification_spark.streaming import jobs, metrics
+
+    workdir = tempfile.mkdtemp(prefix="dlp_bench_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        n_files = 8
+        synthesize_transcripts(spark, STREAM_TURNS, n_conversations=50000).repartition(
+            n_files
+        ).write.mode("overwrite").parquet(in_dir)
+
+        template = dds.DeidTemplate.from_file(os.path.join(HERE, "configs/deid_transcripts.json"))
+        cap = metrics.ProgressCapture()
+        spark.streams.addListener(cap)
+        t0 = time.time()
+        try:
+            job = jobs.StreamingDeidJob(
+                spark,
+                template,
+                in_dir,
+                os.path.join(workdir, "out"),
+                os.path.join(workdir, "ckpt"),
+                max_files_per_trigger=2,
+            )
+            job.run_to_completion(timeout_sec=1800)
+            wall = time.time() - t0
+            for _ in range(60):
+                if cap.total_rows() >= STREAM_TURNS:
+                    break
+                time.sleep(0.25)
+        finally:
+            spark.streams.removeListener(cap)
+        n_out = sum(e["metrics"]["n_rows"] for e in job.sink().lineage())
+        return {
+            "turns": STREAM_TURNS,
+            "rows_committed": n_out,
+            "wall_sec": round(wall, 2),
+            "turns_per_sec_wall": round(STREAM_TURNS / wall, 1),
+            "turns_per_sec_busy": round(cap.throughput_rows_per_sec(), 1),
+            "p50_batch_ms": round(cap.p50_batch_ms(), 1),
+            "n_batches": len([b for b in cap.batches if b.num_input_rows > 0]),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        timings = run_queries(spark)
+        streaming = run_streaming_bench(spark)
+    finally:
+        spark.stop()
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
+    print(
+        json.dumps(
+            {
+                "metric": "total headline-query wall time (plus streaming deid throughput)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": CPUS,
+                "streaming": streaming,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Text-analysis functions for training-data pipelines.
+
+All native Spark Column expressions (JVM, codegen): token counting, quality
+scoring, n-gram-heuristic language ID, document fingerprinting. Each has a
+DuckDB-expressible definition so the driver's oracle can verify values.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small per-language stopword dictionaries for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "que"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword count: word pieces + digits + punctuation as separate
+    tokens (regex segmentation, a cheap stand-in for a real tokenizer)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = n - F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_count(col: Column, words: list[str]) -> Column:
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword presence
+    - punctuation excess. (Components mirror common corpus-filter features:
+    length, punct ratio, stopword ratio.)"""
+    toks = token_count(col).cast("double")
+    sw = stopword_count(col, LANG_STOPWORDS["en"]).cast("double")
+    length_term = F.least(toks / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+    stop_term = F.least(sw / F.greatest(toks, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)) * F.lit(0.3)
+    punct_term = (F.lit(1.0) - F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))) * F.lit(0.3)
+    return F.round(length_term + stop_term + punct_term, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-dictionary language ID: argmax of per-language stopword hits,
+    deterministic tiebreak by language code, 'und' when no hits."""
+    scores = [
+        F.struct(
+            stopword_count(col, ws).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    # array_max on struct compares fields in order: (hits asc, lang asc) —
+    # max hits wins, larger lang code breaks ties; flip lang for determinism
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    the exact-dedup key. (Fuzzy fingerprinting = operators.dedup.simhash64 /
+    minhash_signature.)"""
+    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))

@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata structs; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages so each executor processes whole record batches. The actual codecs
+(PIL/ffmpeg/torchaudio) are NOT in this container, so the decode kernels are
+STUBBED: ``decoder="fake"`` produces deterministic synthetic outputs (real
+schema, partitioning, batch shape), any other decoder raises
+NotImplementedError at the point a real codec would be invoked. The Spark-side
+contract — schemas, UDF signatures, batch iteration — is real and tested.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("payload_sha", StringType()),
+    ]
+)
+
+
+def _fake_embedding(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real vision encoder: bytes → unit vector."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    v = (raw.astype(np.float64) / np.iinfo(np.uint32).max) - 0.5
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def extract_image_features(
+    df: DataFrame, decoder: str = "fake", embedding_dim: int = 16
+) -> DataFrame:
+    """media table → per-image feature rows via mapInPandas (Arrow batches).
+
+    ``decoder='fake'``: deterministic synthetic embedding + passthrough dims.
+    Anything else raises NotImplementedError where PIL/torchvision would run.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder != "fake":
+                raise NotImplementedError(
+                    f"decoder {decoder!r}: real image codecs are not available "
+                    "in this environment; only the deterministic 'fake' decoder runs"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "embedding": [
+                        _fake_embedding(p, embedding_dim).tolist() for p in payloads
+                    ],
+                    "payload_sha": [
+                        hashlib.sha256(p or b"").hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, decoder: str = "fake"
+) -> DataFrame:
+    """video rows → sampled frame rows (1→N fan-out inside mapInPandas).
+    Fake decoder emits deterministic pseudo-frames (sliced payload bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder != "fake":
+                raise NotImplementedError(
+                    f"decoder {decoder!r}: ffmpeg is not available here; "
+                    "only the deterministic 'fake' frame sampler runs"
+                )
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"] or 0)
+                payload = row["payload"] or b""
+                for i, ms in enumerate(range(0, dur, every_ms)):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(ms)
+                    start = (i * 16) % max(len(payload), 1)
+                    out["frame_payload"].append(bytes(payload[start : start + 16]))
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic fake media table for tests (binary payloads derived from
+    the row id — no external data)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                bytearray(payload),
+                64 + i % 32 if kind == "image" else None,
+                48 + i % 16 if kind == "image" else None,
+                (i % 7 + 1) * 1500 if kind == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline; random-hyperplane-LSH
+bucketed search as the 100 TB path (scan only same/nearby buckets instead of
+the full corpus). Dot products via JVM higher-order functions
+(zip_with + aggregate) — no Python per row.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set against
+    the corpus — a single narrow pass over the corpus, then a per-query top-k
+    window. Output: query_id, vec_id, rank, sim.
+
+    Scale: corpus-side scan is embarrassingly parallel; only the per-query
+    top-k rows shuffle (k·|Q| rows, not the corpus).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11):
+    """Random-hyperplane LSH bucket id: sign pattern of <v, h_i> for n_planes
+    deterministic pseudo-random hyperplanes (components derived from
+    xxhash64(seed, plane, dim_index), zero-mean). Pure JVM expression."""
+    v = _as_double(vec_col)
+    bits = []
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)) - F.lit(1000)
+            ).cast("double"),
+        )
+        bits.append(
+            F.when(_dot(v, comps) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+        )
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: ``n_tables``
+    independent hash tables; a candidate is scanned if it shares the query's
+    bucket (or a Hamming-1 neighbor bucket) in ANY table. At 100 TB the corpus
+    is bucketed/partitioned once per table (write-time clustering); each query
+    touches ~ n_tables·(1+n_planes)/2^n_planes of the data instead of all of
+    it, with recall tunable by (n_planes, n_tables)."""
+    table_buckets = [
+        hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
+        for t in range(n_tables)
+    ]
+    # bucket ids offset per table so one join column serves all tables
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.explode(
+            F.array(*[b + F.lit(t << 32) for t, b in enumerate(table_buckets)])
+        ).alias("bucket"),
+    )
+    probes = []
+    for t, b in enumerate(table_buckets):
+        probes.append(b + F.lit(t << 32))
+        probes.extend(b.bitwiseXOR(F.lit(1 << p)) + F.lit(t << 32) for p in range(n_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", "qv", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: candidates
+    share a hyperplane bucket, verified with exact cosine ≥ threshold.
+    Output: id_a < id_b, sim."""
+    c = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    r = c.select(
+        F.col("id").alias("rid"), F.col("v").alias("rv"), F.col("bucket").alias("rbucket")
+    )
+    return (
+        c.join(r, (F.col("bucket") == F.col("rbucket")) & (F.col("id") < F.col("rid")))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("rid").alias("id_b"),
+            cosine(F.col("v"), F.col("rv")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

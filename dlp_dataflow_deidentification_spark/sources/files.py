@@ -1,0 +1,104 @@
+"""Multi-format file sources with per-file keys.
+
+The reference implements splittable readers per format (SURVEY.md §2.1
+S5-S11: CSV/TSV/TXT/JSONL/Avro/Parquet/ORC splittable DoFns over
+common/FileReader.java byte-range scanning) plus filename→table-key
+sanitization (common/SanitizeFileNameDoFn.java:42-83). Spark's FileScan
+already does byte-range splits, header skipping, and schema handling; what
+remains is a uniform API that (a) attaches the sanitized source key as a
+column (the reference's KV key ≈ dynamic destination table), and (b) keeps
+all cells strings for CSV/TSV/TXT/JSONL parity (readers produce only strings,
+common/Util.java:143-151).
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOURCE_KEY_COL = "source_key"
+
+_FORMATS = {"csv", "tsv", "txt", "jsonl", "json", "avro", "parquet", "orc"}
+
+
+def sanitize_key(name: str) -> str:
+    """Filename → safe table key: strip extension, non-alnum → underscore,
+    must not start with a digit (BigQuery rules the reference enforces in
+    SanitizeFileNameDoFn.java:52-66 / Util.java:153-160)."""
+    base = name.rsplit("/", 1)[-1]
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    key = re.sub(r"[^a-zA-Z0-9_]", "_", stem)
+    return ("_" + key) if re.match(r"^[0-9]", key) else key
+
+
+def _sanitize_col(path_col):
+    base = F.element_at(F.split(path_col, "/"), -1)
+    stem = F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
+    key = F.regexp_replace(stem, r"[^a-zA-Z0-9_]", "_")
+    return F.when(key.rlike(r"^[0-9]"), F.concat(F.lit("_"), key)).otherwise(key)
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    headers: list[str] | None = None,
+    delimiter: str | None = None,
+    streaming: bool = False,
+    schema=None,
+) -> DataFrame:
+    """Read files of ``fmt`` under ``path``; every row carries a sanitized
+    ``source_key`` column derived from its file (the dynamic-destination key).
+
+    CSV/TSV: first line is the header (CSVColumnNamesDoFn analogue) unless
+    ``headers`` is given (then all lines are data — the reference's
+    --headers option for TXT/JSON, txt/TxtColumnNameDoFn.java:31-35).
+    TXT: one string column ``line`` (+ user headers applied to a single col).
+    JSONL: schema inferred (or passed); nested structs preserved (the
+    reference flattens because DLP tables are flat — we keep them native).
+    """
+    fmt = fmt.lower()
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+
+    reader = spark.readStream if streaming else spark.read
+    if fmt in ("csv", "tsv"):
+        sep = delimiter or ("\t" if fmt == "tsv" else ",")
+        opts = {"sep": sep, "inferSchema": "false"}  # strings-only parity
+        if headers:
+            df = reader.options(**opts).schema(
+                " ".join(f"{h} string," for h in headers).rstrip(",")
+            ).csv(path)
+        else:
+            df = reader.options(**opts, header="true").csv(path) if not streaming else (
+                reader.options(**opts, header="true").schema(schema).csv(path)
+            )
+    elif fmt == "txt":
+        df = reader.text(path).withColumnRenamed("value", headers[0] if headers else "line")
+    elif fmt in ("json", "jsonl"):
+        df = (reader.schema(schema) if schema is not None else reader).json(path)
+    else:  # avro / parquet / orc — typed, vectorized, split natively
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = getattr(reader, "format")(fmt).load(path) if fmt == "avro" else getattr(
+            reader, fmt
+        )(path)
+    return df.withColumn(SOURCE_KEY_COL, _sanitize_col(F.input_file_name()))
+
+
+def stringify_all(df: DataFrame, except_cols: tuple = (SOURCE_KEY_COL,)) -> DataFrame:
+    """Cast every column to string — the reference's universal degradation for
+    BigQuery output (DLPTextToBigQueryStreaming.java:845-846)."""
+    return df.select(
+        *[
+            F.col(c) if c in except_cols else F.col(c).cast("string").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+def write_partitioned_by_key(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Dynamic per-key output (BigQueryDynamicWriteTransform / WriteToGCS
+    analogue): one directory partition per source key."""
+    df.write.partitionBy(SOURCE_KEY_COL).mode("append").format(fmt).save(path)

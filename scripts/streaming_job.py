@@ -1,0 +1,64 @@
+"""Standalone streaming DEID job for spark-submit (scaling evidence runner).
+
+Usage (see scaling_bench.py):
+  spark-submit --master local[N] --py-files dds.zip scripts/streaming_job.py \
+      <input_dir> <work_dir> [repo_dir]
+
+Reads a transcript parquet stream, de-identifies it through the exactly-once
+sink, prints one JSON line with throughput + p50 micro-batch latency.
+"""
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    input_dir, work_dir = sys.argv[1], sys.argv[2]
+    repo = sys.argv[3] if len(sys.argv) > 3 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from pyspark.sql import SparkSession
+
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.streaming import jobs, metrics
+
+    spark = SparkSession.builder.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    template = dds.DeidTemplate.from_file(os.path.join(repo, "configs/deid_transcripts.json"))
+
+    cap = metrics.ProgressCapture()
+    spark.streams.addListener(cap)
+    t0 = time.time()
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        os.path.join(work_dir, "out"),
+        os.path.join(work_dir, "ckpt"),
+        max_files_per_trigger=int(os.environ.get("MAX_FILES_PER_TRIGGER", "2")),
+    )
+    job.run_to_completion(timeout_sec=3600)
+    wall = time.time() - t0
+    n_out = sum(e["metrics"]["n_rows"] for e in job.sink().lineage())
+    for _ in range(60):
+        if cap.total_rows() >= n_out:
+            break
+        time.sleep(0.25)
+    print(
+        "SCALING_RESULT "
+        + json.dumps(
+            {
+                "master": spark.sparkContext.master,
+                "rows": n_out,
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(n_out / wall, 1),
+                "p50_batch_ms": round(cap.p50_batch_ms(), 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Dedup operator tests with planted duplicates (ground truth known)."""
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_dataflow_deidentification_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    """documents ∪ mutated copies: doc_id+100000 = near-dup of doc_id (one
+    appended token); doc_id+200000 = exact dup. Deterministic ground truth."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker token")).alias("text"),
+    )
+    exact = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return base.unionByName(near).unionByName(exact).cache()
+
+
+def test_exact_dedup(spark, docs):
+    n_base = docs.filter("doc_id < 100000").count()
+    n_exact_dups = docs.filter("doc_id >= 200000").count()
+    out = dedup.exact_dedup(docs)
+    kept = out.count()
+    # every exact dup collapses onto its base (min doc_id wins); near-dups survive
+    assert kept == docs.count() - n_exact_dups
+    dup_rows = out.filter("n_copies > 1")
+    assert dup_rows.count() == n_exact_dups
+    assert dup_rows.filter("doc_id >= 100000").count() == 0  # winner is always the base
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=5, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in docs.filter("doc_id < 100000").filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    exact_planted = {
+        (r.doc_id, r.doc_id + 200000)
+        for r in docs.filter("doc_id < 100000").filter(F.col("doc_id") % 7 == 0).collect()
+    }
+    # exact dups: jaccard 1.0 → recall must be 100%
+    assert exact_planted <= got
+    # near dups (one token appended, high jaccard): ≥95% recall via 16 bands
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.95, f"minhash recall {recall}"
+    # estimator sanity on exact pairs
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert all(est[p] == 1.0 for p in exact_planted)
+
+
+def test_ngram_jaccard_exact_pairs(spark, docs):
+    sample = docs.filter("doc_id % 25 = 0 or doc_id >= 100000")  # keep the join small
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(sample, threshold=0.5).collect()
+    }
+    planted_exact = {
+        (r.doc_id, r.doc_id + 200000)
+        for r in sample.filter("doc_id < 100000").filter(F.col("doc_id") % 7 == 0).collect()
+        if (r.doc_id + 200000) in [x.doc_id for x in sample.filter("doc_id >= 200000").collect()]
+    }
+    for p in planted_exact:
+        assert pairs.get(p) == 1.0
+    # jaccard is symmetric-bounded
+    assert all(0.5 <= v <= 1.0 for v in pairs.values())
+
+
+def test_simhash_pairs_find_exact_dups(spark, docs):
+    sample = docs.filter("(doc_id < 100000 AND doc_id % 7 = 0) OR doc_id >= 200000")
+    pairs = dedup.simhash_pairs(sample, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    planted = {
+        (r.doc_id, r.doc_id + 200000)
+        for r in sample.filter("doc_id < 100000").collect()
+        if r.doc_id % 7 == 0
+    }
+    found = {p for p in planted if p in got}
+    assert len(found) == len(planted)  # identical text → hamming 0
+    assert all(got[p] == 0 for p in found)
+
+
+def test_simhash_is_deterministic(spark, docs):
+    a = docs.limit(50).select("doc_id", dedup.simhash64(F.col("text")).alias("h")).collect()
+    b = docs.limit(50).select("doc_id", dedup.simhash64(F.col("text")).alias("h")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_plans_have_no_python(spark, docs):
+    for df in [
+        dedup.exact_dedup(docs),
+        dedup.minhash_lsh_pairs(docs.limit(10)),
+        dedup.simhash_pairs(docs.limit(10)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan[:2000]

@@ -1,0 +1,127 @@
+"""Multimodal plumbing + file sources + chatlog parser tests."""
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_dataflow_deidentification_spark.operators import multimodal as mm
+from dlp_dataflow_deidentification_spark.sources import chatlog, files
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_image_features_deterministic_schema_and_values(spark):
+    media = mm.synthesize_media(spark, 30)
+    feats = mm.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter("kind = 'image'").count() > 0
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "width", "height", "embedding", "payload_sha",
+    ]
+    r = sorted(rows, key=lambda r: r.media_id)[0]
+    assert len(r.embedding) == 16
+    # embedding is unit-norm and reproducible
+    s = sum(x * x for x in r.embedding)
+    assert abs(s - 1.0) < 1e-3
+    again = {x.media_id: x.embedding for x in mm.extract_image_features(media).collect()}
+    assert again[r.media_id] == r.embedding
+
+
+def test_image_features_sha_matches_payload(spark):
+    media = mm.synthesize_media(spark, 9)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in mm.extract_image_features(media).collect():
+        assert r.payload_sha == hashlib.sha256(payloads[r.media_id]).hexdigest()
+
+
+def test_video_frame_sampling_fanout(spark):
+    media = mm.synthesize_media(spark, 30)
+    frames = mm.sample_video_frames(media, every_ms=1000)
+    rows = frames.collect()
+    durs = {r.media_id: r.duration_ms for r in media.filter("kind='video'").collect()}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frs in by_media.items():
+        expected = len(range(0, durs[mid], 1000))
+        assert len(frs) == expected
+        assert sorted(f.frame_idx for f in frs) == list(range(expected))
+
+
+def test_real_decoder_raises_not_implemented(spark):
+    media = mm.synthesize_media(spark, 6)
+    with pytest.raises(Exception) as e:
+        mm.extract_image_features(media, decoder="pil").collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+# -- file sources ------------------------------------------------------------
+
+
+def test_sanitize_key():
+    assert files.sanitize_key("gs://b/path/My File-2024.csv") == "My_File_2024"
+    assert files.sanitize_key("2024data.txt") == "_2024data"
+    assert files.sanitize_key("plain") == "plain"
+
+
+def test_read_csv_with_source_key_all_strings(spark, tmp_path):
+    p = tmp_path / "tiny_table.csv"
+    p.write_text("id,name,amount\n1,alice,10.5\n2,bob,20.0\n")
+    df = files.read_files(spark, str(tmp_path), "csv")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert set(df.columns) == {"id", "name", "amount", files.SOURCE_KEY_COL}
+    assert all(isinstance(r.id, str) for r in rows)  # strings-only parity
+    assert rows[0][files.SOURCE_KEY_COL] == "tiny_table"
+
+
+def test_read_txt_and_jsonl(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    t = files.read_files(spark, str(tmp_path / "a.txt"), "txt")
+    assert [r.line for r in t.orderBy("line").collect()] == ["line one", "line two"]
+    (tmp_path / "b.jsonl").write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n')
+    j = files.read_files(spark, str(tmp_path / "b.jsonl"), "jsonl")
+    assert j.count() == 2 and "source_key" in j.columns
+
+
+def test_partitioned_write_per_key(spark, tmp_path):
+    import os
+
+    (tmp_path / "t1.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "t2.csv").write_text("a,b\n3,4\n")
+    df = files.read_files(spark, str(tmp_path), "csv")
+    out = str(tmp_path / "out")
+    files.write_partitioned_by_key(df, out)
+    parts = {d for d in os.listdir(out) if d.startswith("source_key=")}
+    assert parts == {"source_key=t1", "source_key=t2"}
+
+
+# -- chatlog parser -----------------------------------------------------------
+
+
+def test_parse_chatlog_roles_and_order(spark):
+    lines = [
+        "100 [Customer]: hi I need help [Agent]: sure, what's up [Customer]: card 4111 1111 1111 1111",
+        "101 [Agent]: hello",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = chatlog.parse_chatlog(df).orderBy("conv_id", "turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.role) for r in parsed] == [
+        ("100", 0, "customer"),
+        ("100", 1, "agent"),
+        ("100", 2, "customer"),
+        ("101", 0, "agent"),
+    ]
+    assert parsed[0].text == "hi I need help"
+    assert parsed[2].text.startswith("card 4111")
+    assert chatlog.agent_turns(chatlog.parse_chatlog(df)).count() == 2
+    assert chatlog.customer_turns(chatlog.parse_chatlog(df)).count() == 2
+
+
+def test_parse_chatlog_is_native(spark):
+    df = spark.createDataFrame([("1 [Agent]: x",)], "line string")
+    plan = chatlog.parse_chatlog(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

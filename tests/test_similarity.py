@@ -1,0 +1,89 @@
+"""Similarity-search tests: brute-force exactness vs numpy oracle; LSH recall."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dlp_dataflow_deidentification_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def numpy_topk(emb_rows, q_rows, k):
+    ids = np.array([r.vec_id for r in emb_rows])
+    M = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for q in q_rows:
+        v = np.array(q.embedding, dtype=np.float64)
+        sims = Mn @ (v / np.linalg.norm(v))
+        order = np.lexsort((ids, -sims))[:k]
+        out[q.query_id] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, emb, queries_df):
+    got_rows = similarity.cosine_topk(emb, queries_df, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    want = numpy_topk(emb.collect(), queries_df.collect(), 5)
+    assert got == want
+    # self-similarity: rank 1 is the query itself with sim ≈ 1
+    by_rank1 = {r.query_id: r for r in got_rows if r.rank == 1}
+    for qid, r in by_rank1.items():
+        assert r.vec_id == qid and abs(r.sim - 1.0) < 1e-9
+
+
+def test_lsh_topk_recall(spark, emb, queries_df):
+    k = 5
+    exact = similarity.cosine_topk(emb, queries_df, k=k).collect()
+    approx = similarity.lsh_topk(emb, queries_df, k=k, n_planes=8).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    # rank-1 (self) must always be found: identical vector → same bucket
+    assert all(q in ap.get(q, set()) for q in ex)
+    recalls = [len(ex[q] & ap.get(q, set())) / k for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean LSH recall {sum(recalls)/len(recalls)}"
+
+
+def test_embedding_dedup_finds_planted_dups(spark, emb):
+    dup = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.embedding_dedup_pairs(both, threshold=0.99).collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + 10000) for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    }
+    for p in planted:  # identical vectors share every bucket → recall 100%
+        assert p in pairs and pairs[p] > 0.999999
+    # no wildly-dissimilar false positives survive verification
+    assert all(v >= 0.99 for v in pairs.values())
+
+
+def test_similarity_plans_native(spark, emb, queries_df):
+    plan = (
+        similarity.cosine_topk(emb, queries_df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan  # query side broadcast
