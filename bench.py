@@ -35,6 +35,9 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -65,10 +68,10 @@ def run_streaming_bench(spark) -> dict:
     from dlp_dataflow_deidentification_spark.sources.transcripts import synthesize_transcripts
     from dlp_dataflow_deidentification_spark.streaming import jobs, metrics
 
-    workdir = tempfile.mkdtemp(prefix="dlp_bench_")
+    workdir = tempfile.mkdtemp(prefix="dlp_bench_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         in_dir = os.path.join(workdir, "in")
-        n_files = 8
+        n_files = 32
         synthesize_transcripts(spark, STREAM_TURNS, n_conversations=50000).repartition(
             n_files
         ).write.mode("overwrite").parquet(in_dir)
@@ -84,7 +87,7 @@ def run_streaming_bench(spark) -> dict:
                 in_dir,
                 os.path.join(workdir, "out"),
                 os.path.join(workdir, "ckpt"),
-                max_files_per_trigger=2,
+                max_files_per_trigger=8,
             )
             job.run_to_completion(timeout_sec=1800)
             wall = time.time() - t0
