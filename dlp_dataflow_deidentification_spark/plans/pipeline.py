@@ -1,0 +1,125 @@
+"""Config-driven end-to-end pipelines — the engine's
+``DLPTextToBigQueryStreamingV2`` (reference: main() + run()/runReidPipeline,
+DLPTextToBigQueryStreamingV2.java:82-371; options
+DLPTextToBigQueryStreamingV2PipelineOptions.java).
+
+One declarative spec replaces the reference's pipeline-options surface:
+
+    spec = {
+      "source": {"path": ..., "format": "csv|tsv|txt|jsonl|avro|parquet|orc",
+                  "headers": [...], "streaming": false},
+      "mode": "inspect" | "deid" | "reid",
+      "template": <path or dict>,            # deid/inspect template
+      "reid_columns": [...],                 # reid mode
+      "text_columns": [...],                 # inspect mode
+      "sink": {"path": ..., "format": "parquet|csv|text",
+                "partition_by_source": true},
+      "error_path": ...,                     # malformed-record side output
+      "num_shards": 0,                       # conv-id salt (hot keys)
+    }
+
+Batch and streaming share the same transform graph; streaming adds the
+exactly-once ledger sink and a checkpoint (streaming/jobs.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.deidentify import deidentify, reidentify
+from ..operators.inspect import inspect
+from ..operators.skew import salted_repartition
+from ..sources import files
+from .config import DeidTemplate
+
+ERROR_SCHEMA_COLS = ("file_name", "transaction_timestamp", "error_message", "stack_trace")
+
+
+def load_template(template: "str | dict", crypto_key: str) -> DeidTemplate:
+    if isinstance(template, str):
+        return DeidTemplate.from_file(template, crypto_key=crypto_key)
+    return DeidTemplate.from_dict(template, crypto_key=crypto_key)
+
+
+def split_malformed(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Route rows with null required cells to an error table (the reference
+    drops malformed-arity CSV rows with a warning,
+    beam/ConvertCSVRecordToDLPRow.java:61-77, and appends API failures to an
+    error_log table, common/DLPTransform.java:330-343 / Util.java:175-181).
+    In Spark, malformed CSV/JSON rows surface as nulls under PERMISSIVE mode."""
+    cond = None
+    for c in required:
+        this = F.col(c).isNull()
+        cond = this if cond is None else (cond | this)
+    bad = df.filter(cond)
+    good = df.filter(~cond)
+    src = (
+        F.col(files.SOURCE_KEY_COL)
+        if files.SOURCE_KEY_COL in df.columns
+        else F.lit("unknown")
+    )
+    errors = bad.select(
+        src.alias("file_name"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias(
+            "transaction_timestamp"
+        ),
+        F.lit("malformed record: required field null").alias("error_message"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("stack_trace"),
+    )
+    return good, errors
+
+
+def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: str = "0123456789abcdef") -> dict:
+    """Execute a batch pipeline spec; returns row-count metrics (the
+    reference's numberOfRowsRead / numberOfRowsDeidentified counters)."""
+    src = spec["source"]
+    df = files.read_files(
+        spark,
+        src["path"],
+        src["format"],
+        headers=src.get("headers"),
+        delimiter=src.get("delimiter"),
+    )
+    metrics: dict[str, int] = {}
+
+    required = spec.get("required_columns") or []
+    if required:
+        df, errors = split_malformed(df, required)
+        if spec.get("error_path"):
+            errors.write.mode("append").parquet(spec["error_path"])
+            metrics["rows_error"] = spark.read.parquet(spec["error_path"]).count()
+
+    mode = spec.get("mode", "deid")
+    if mode == "deid":
+        out = deidentify(df, load_template(spec["template"], crypto_key))
+    elif mode == "reid":
+        out = reidentify(df, spec["reid_columns"], crypto_key)
+    elif mode == "inspect":
+        template = load_template(spec["template"], crypto_key)
+        out = inspect(
+            df,
+            template.detectors,
+            spec["text_columns"],
+            id_columns=[files.SOURCE_KEY_COL] if files.SOURCE_KEY_COL in df.columns else [],
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if spec.get("num_shards"):
+        out = salted_repartition(out, spec.get("shard_key", files.SOURCE_KEY_COL), spec["num_shards"])
+
+    sink = spec["sink"]
+    fmt = sink.get("format", "parquet")
+    if fmt == "text":
+        files.write_text_lines(out, sink["path"], delimiter=sink.get("delimiter", ","))
+    elif sink.get("partition_by_source") and files.SOURCE_KEY_COL in out.columns:
+        files.write_partitioned_by_key(out, sink["path"], fmt)
+    else:
+        out.write.mode("append").format(fmt).save(sink["path"])
+
+    written = spark.read.format(fmt if fmt != "text" else "text").load(sink["path"])
+    metrics["rows_written"] = written.count()
+    return metrics

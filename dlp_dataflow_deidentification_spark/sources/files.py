@@ -98,6 +98,20 @@ def stringify_all(df: DataFrame, except_cols: tuple = (SOURCE_KEY_COL,)) -> Data
     )
 
 
+def write_text_lines(df: DataFrame, path: str, delimiter: str = ",") -> None:
+    """Row → delimiter-joined text line, partitioned per source key when
+    present (ConvertTableRowToString + WriteToGCS analogue,
+    common/WriteToGCS.java:66-139)."""
+    cols = [c for c in df.columns if c != SOURCE_KEY_COL]
+    line = F.concat_ws(delimiter, *[F.col(c).cast("string") for c in cols])
+    if SOURCE_KEY_COL in df.columns:
+        df.select(line.alias("value"), F.col(SOURCE_KEY_COL)).write.partitionBy(
+            SOURCE_KEY_COL
+        ).mode("append").text(path)
+    else:
+        df.select(line.alias("value")).write.mode("append").text(path)
+
+
 def write_partitioned_by_key(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """Dynamic per-key output (BigQueryDynamicWriteTransform / WriteToGCS
     analogue): one directory partition per source key."""
