@@ -1,0 +1,190 @@
+"""Custom stateful operators over the RocksDB/HDFS state store.
+
+``batched_requests`` is the direct re-expression of the reference's
+BagState + event-time-timer batcher
+(beam/BatchRequestForDLP.java:44-106: buffer rows per sharded key, fire at
+the window end, greedily pack ≤ batchSizeBytes bags; V1 equivalent
+DLPTextToBigQueryStreaming.java:604-668; unit-test contract
+BatchRequestForDLPTest.java:59-121 asserts the multiset of emitted batch
+sizes per key). In Spark the operator is ``applyInPandasWithState``:
+
+* state = (buffered byte size, buffered row count, next batch sequence)
+* new rows append to the buffer; every time the byte budget fills, a batch
+  row (key, batch_seq, n_rows, n_bytes) is emitted — greedy packing
+* an event-time timeout (watermark-driven — the Beam timer analogue)
+  flushes the remainder
+
+``conversation_assembler`` applies the same machinery to the transcript
+payload: per-conv_id turn accumulation emitted when the conversation goes
+idle past the gap (the stateful upgrade of session_window when per-session
+custom logic is needed).
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BATCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("batch_seq", IntegerType()),
+        StructField("n_rows", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+_BATCH_STATE_SCHEMA = StructType(
+    [
+        StructField("buf_bytes", LongType()),
+        StructField("buf_rows", IntegerType()),
+        StructField("next_seq", IntegerType()),
+        StructField("max_event_ms", LongType()),
+    ]
+)
+
+
+def batched_requests(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    payload_col: str = "text",
+    ts_col: str = "ts",
+    max_batch_bytes: int = 500_000,
+    flush_gap_ms: int = 10_000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Greedy byte-budget batching per key with event-time flush.
+
+    Works on a streaming DataFrame (state store + timeouts) AND degrades to a
+    batch DataFrame (single invocation per key, full flush) for oracle tests.
+    Output: key, batch_seq, n_rows, n_bytes.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_bytes, buf_rows, next_seq, max_ms = state.get
+        else:
+            buf_bytes, buf_rows, next_seq, max_ms = 0, 0, 0, 0
+
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            if buf_rows:
+                out.append((key[0], next_seq, buf_rows, buf_bytes))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                sizes = pdf[payload_col].astype(str).str.len().fillna(0).astype(int)
+                if ts_col in pdf.columns:
+                    ms = (pdf[ts_col].astype("int64") // 1_000_000).max()
+                    max_ms = max(max_ms, int(ms))
+                for n in sizes:
+                    if buf_rows and buf_bytes + int(n) > max_batch_bytes:
+                        out.append((key[0], next_seq, buf_rows, buf_bytes))
+                        next_seq += 1
+                        buf_bytes, buf_rows = 0, 0
+                    buf_bytes += int(n)
+                    buf_rows += 1
+            state.update((buf_bytes, buf_rows, next_seq, max_ms))
+            # Beam: event-time timer at window max; here: watermark-driven
+            # timeout at last-event-time + flush gap
+            state.setTimeoutTimestamp(max_ms + flush_gap_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["key", "batch_seq", "n_rows", "n_bytes"])
+
+    wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if wdf.isStreaming:
+        wdf = wdf.withWatermark(ts_col, watermark)
+    return wdf.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        BATCH_OUTPUT_SCHEMA,
+        _BATCH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+CONV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("n_pii_turns", IntegerType()),
+        StructField("first_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+_CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", IntegerType()),
+        StructField("n_pii_turns", IntegerType()),
+        StructField("first_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+
+def conversation_assembler(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-conv_id stateful assembly: accumulate turn stats in state, emit one
+    conversation record when the conversation idles past ``gap_ms`` (event-time
+    timeout) — the custom-logic upgrade of ``session_window``."""
+
+    cols = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, npii, first_ms, last_ms = state.get
+        else:
+            n, npii, first_ms, last_ms = 0, 0, 0, 0
+        if state.hasTimedOut:
+            if n:
+                yield pd.DataFrame([(key[0], n, npii, first_ms, last_ms)], columns=cols)
+            state.remove()
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts", kind="mergesort")
+        ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        pii = batch["text"].str.contains(r"\[[A-Z_]+\]", regex=True, na=False).to_numpy()
+
+        out = []
+        for i in range(len(batch)):
+            if n and ms[i] - last_ms >= gap_ms:
+                out.append((key[0], n, npii, first_ms, last_ms))  # gap → close session
+                n, npii, first_ms = 0, 0, 0
+            n += 1
+            npii += int(pii[i])
+            first_ms = int(ms[i]) if first_ms == 0 else first_ms
+            last_ms = max(last_ms, int(ms[i]))
+        state.update((n, npii, first_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    wdf = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if wdf.isStreaming:
+        wdf = wdf.withWatermark("ts", watermark)
+    return wdf.groupBy(F.col("conv_id")).applyInPandasWithState(
+        fn,
+        CONV_OUTPUT_SCHEMA,
+        _CONV_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
