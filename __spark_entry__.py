@@ -270,6 +270,49 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → raw '[Agent]:/[Customer]:' chat-log lines → parsed back
+    (ParseTextLogDoFn analogue, txt/ParseTextLogDoFn.java:41-107). The oracle
+    is the expected turn set computed directly from the transcripts."""
+    from dlp_dataflow_deidentification_spark.sources.chatlog import parse_chatlog
+
+    tdf = _transcripts(spark, sf_dir).filter(F.col("role").isin("agent", "customer"))
+    num_id = F.when(F.col("conv_id") == "conv-hot", F.lit("9999")).otherwise(
+        F.substring("conv_id", 6, 10)
+    )
+    turn = F.struct("turn_idx", F.initcap("role").alias("r"), "text")
+    lines = (
+        tdf.groupBy(num_id.alias("cid"))
+        .agg(F.array_sort(F.collect_list(turn)).alias("turns"))
+        .select(
+            F.concat(
+                F.col("cid"),
+                F.lit(" "),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        "turns",
+                        lambda t: F.concat(
+                            F.lit("["), t["r"], F.lit("]: "), t["text"]
+                        ),
+                    ),
+                ),
+            ).alias("line")
+        )
+    )
+    return parse_chatlog(lines).select("conv_id", "turn_idx", "role", "text")
+
+
+def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Findings with codepoint offsets (Arrow pandas-UDF path; offsets are not
+    SQL-expressible in DuckDB → rows-only driver check; offset correctness is
+    pinned by tests/test_deidentify.py::test_inspect_offsets_schema_and_values)."""
+    tdf = _transcripts(spark, sf_dir)
+    return dds.inspect_offsets(
+        tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -293,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "text_metrics": q_text_metrics,
         "session_windows": q_session_windows,
+        "chatlog_roundtrip": q_chatlog_roundtrip,
+        "inspect_offsets": q_inspect_offsets,
     }
 
 
@@ -423,6 +468,12 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(b.embedding AS DOUBLE[])) >= 0.99"
         ),
         "text_metrics": _text_metrics_oracle(),
+        "chatlog_roundtrip": (
+            f"{t} SELECT CASE WHEN conv_id = 'conv-hot' THEN '9999'"
+            f" ELSE substr(conv_id, 6, 10) END AS conv_id,"
+            f" CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,"
+            f" role, text FROM transcripts WHERE role IN ('agent', 'customer')"
+        ),
         "session_windows": (
             f"{t}, e AS (SELECT conv_id, role, turn_idx, ts, epoch_us(ts) AS us FROM transcripts),"
             f" l AS (SELECT *, lag(us) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS pus FROM e),"
