@@ -43,24 +43,45 @@ def materialize_input(in_dir: str) -> None:
     spark.stop()
 
 
-TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 
 
-def run_level(cpus: int, in_dir: str, zip_path: str, workroot: str, mode: str = "stream") -> dict:
-    """Best-of-TRIALS: the sandbox's throughput jitters ±2x run-to-run;
-    best-of approximates the un-interfered capability at each level."""
-    best = None
+def run_levels_interleaved(
+    levels, in_dir: str, zip_path: str, workroot: str, mode: str = "stream"
+) -> dict:
+    """Interleaved A/B/A/B trials with per-level medians: the sandbox's
+    throughput jitters up to ±2x on slow timescales, so alternating levels
+    within each trial round and taking medians de-biases the comparison."""
+    import statistics
+
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for trial in range(TRIALS):
-        r = _run_once(cpus, in_dir, zip_path, workroot, mode, trial)
-        if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-            best = r
-    best["trials"] = TRIALS
-    return best
+        for c in levels:
+            runs[c].append(_run_once(c, in_dir, zip_path, workroot, mode, trial))
+    out = {}
+    for c in levels:
+        rs = sorted(runs[c], key=lambda r: r["turns_per_sec"])
+        med = rs[len(rs) // 2]
+        med = dict(med)
+        med["trials_turns_per_sec"] = [r["turns_per_sec"] for r in runs[c]]
+        med["median_turns_per_sec"] = statistics.median(
+            r["turns_per_sec"] for r in runs[c]
+        )
+        if med.get("jvm_cpu_sec"):
+            # engine-saturation evidence: CPU-seconds burned per wall-second
+            # per task slot (≈1.0 → all cores busy; throughput shortfall is
+            # then per-core slowdown, not engine serialization)
+            med["cpu_utilization"] = round(
+                med["jvm_cpu_sec"] / (med["wall_sec"] * c), 3
+            )
+        out[c] = med
+    return out
 
 
 def _run_once(cpus: int, in_dir: str, zip_path: str, workroot: str, mode: str, trial: int) -> dict:
     work = os.path.join(workroot, f"local{cpus}_{mode}_{trial}")
-    env = dict(os.environ, MAX_FILES_PER_TRIGGER="32", SCALING_MODE=mode)
+    env = dict(os.environ, SCALING_MODE=mode)
+    env.setdefault("MAX_FILES_PER_TRIGGER", "32")
     cmd = [
         "spark-submit",
         "--master",
@@ -108,21 +129,37 @@ def main() -> None:
             cwd=HERE,
             check=True,
         )
-        results = {c: run_level(c, in_dir, zip_path, workroot) for c in LEVELS}
+        results = run_levels_interleaved(LEVELS, in_dir, zip_path, workroot)
         lo, hi = results[LEVELS[0]], results[LEVELS[1]]
-        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (LEVELS[1] / LEVELS[0])
-        batch = {c: run_level(c, in_dir, zip_path, workroot, mode="batch") for c in LEVELS}
-        beff = (
-            batch[LEVELS[1]]["turns_per_sec"] / batch[LEVELS[0]]["turns_per_sec"]
+        eff = (hi["median_turns_per_sec"] / lo["median_turns_per_sec"]) / (
+            LEVELS[1] / LEVELS[0]
+        )
+        if os.environ.get("SPARK_GRAFT_SCALING_BATCH", "1") == "1":
+            batch = run_levels_interleaved(LEVELS, in_dir, zip_path, workroot, mode="batch")
+            beff = (
+                batch[LEVELS[1]]["median_turns_per_sec"]
+                / batch[LEVELS[0]]["median_turns_per_sec"]
+            ) / (LEVELS[1] / LEVELS[0])
+        else:
+            batch, beff = {}, None
+        extras = (
+            run_levels_interleaved(EXTRA_LEVELS, in_dir, zip_path, workroot)
+            if EXTRA_LEVELS
+            else {}
+        )
+        best_eff = (
+            max(hi["trials_turns_per_sec"]) / max(lo["trials_turns_per_sec"])
         ) / (LEVELS[1] / LEVELS[0])
-        extras = {c: run_level(c, in_dir, zip_path, workroot) for c in EXTRA_LEVELS}
         report = {
             "turns": TURNS,
             "levels": {f"local[{c}]": r for c, r in results.items()},
-            "speedup": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
+            "speedup": round(hi["median_turns_per_sec"] / lo["median_turns_per_sec"], 3),
             "scaling_efficiency": round(eff, 3),
+            # least-interfered pair: co-tenant noise makes identical configs
+            # swing several-x; best-of-trials approximates the quiet machine
+            "best_trial_scaling_efficiency": round(best_eff, 3),
             "batch_levels": {f"local[{c}]": r for c, r in batch.items()},
-            "batch_scaling_efficiency": round(beff, 3),
+            "batch_scaling_efficiency": round(beff, 3) if beff else None,
             "extra_levels": {f"local[{c}]": r for c, r in extras.items()},
             "note": (
                 "N=2 vs 4N=8 cores; this sandbox saturates memory bandwidth for "

@@ -13,6 +13,41 @@ import sys
 import time
 
 
+def _jvm_cpu_seconds() -> float:
+    """Total CPU seconds consumed by child JVMs (read from /proc): in local
+    mode the driver JVM IS the executor, so this is the engine's CPU time.
+    Evidence for the scaling report: utilization = Δcpu / (wall · cores)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+
+    def stat(pid):
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(") ", 1)[1].split()
+        # fields after comm: state ppid ... utime=idx11 stime=idx12 (0-based)
+        return int(parts[1]), (int(parts[11]) + int(parts[12])) / hz
+
+    # under spark-submit the JVM is our parent; under plain python it is a child
+    try:
+        with open(f"/proc/{me}/stat") as f:
+            ppid = int(f.read().rsplit(") ", 1)[1].split()[1])
+        with open(f"/proc/{ppid}/comm") as f:
+            if "java" in f.read():
+                return stat(ppid)[1]
+    except OSError:
+        pass
+    total = 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            p, cpu = stat(pid)
+            if p == me:
+                total += cpu
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
 def main() -> None:
     input_dir, work_dir = sys.argv[1], sys.argv[2]
     repo = sys.argv[3] if len(sys.argv) > 3 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -72,6 +107,7 @@ def main() -> None:
 
     cap = metrics.ProgressCapture()
     spark.streams.addListener(cap)
+    cpu0 = _jvm_cpu_seconds()
     t0 = time.time()
     job = jobs.StreamingDeidJob(
         spark,
@@ -83,6 +119,7 @@ def main() -> None:
     )
     job.run_to_completion(timeout_sec=3600)
     wall = time.time() - t0
+    cpu_sec = round(_jvm_cpu_seconds() - cpu0, 2)
     n_out = sum(e["metrics"]["n_rows"] for e in job.sink().lineage())
     for _ in range(60):
         if cap.total_rows() >= n_out:
@@ -97,6 +134,7 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "turns_per_sec": round(n_out / wall, 1),
                 "p50_batch_ms": round(cap.p50_batch_ms(), 1),
+                "jvm_cpu_sec": cpu_sec,
             }
         )
     )
