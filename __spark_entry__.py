@@ -270,6 +270,20 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass: quality/lang/token filter + exact dedup."""
+    from dlp_dataflow_deidentification_spark.operators import corpus
+
+    out = corpus.curate(
+        _docs(spark, sf_dir),
+        template=None,
+        min_quality=0.3,
+        min_tokens=8,
+        languages=("en", "und"),
+    )
+    return out.select("doc_id", "quality", "lang_pred", "n_tokens")
+
+
 def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcripts → raw '[Agent]:/[Customer]:' chat-log lines → parsed back
     (ParseTextLogDoFn analogue, txt/ParseTextLogDoFn.java:41-107). The oracle
@@ -338,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "chatlog_roundtrip": q_chatlog_roundtrip,
         "inspect_offsets": q_inspect_offsets,
+        "corpus_curate": q_corpus_curate,
     }
 
 
@@ -468,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(b.embedding AS DOUBLE[])) >= 0.99"
         ),
         "text_metrics": _text_metrics_oracle(),
+        "corpus_curate": _corpus_curate_oracle(),
         "chatlog_roundtrip": (
             f"{t} SELECT CASE WHEN conv_id = 'conv-hot' THEN '9999'"
             f" ELSE substr(conv_id, 6, 10) END AS conv_id,"
@@ -488,7 +504,9 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _text_metrics_oracle() -> str:
+def _metric_sql_exprs() -> dict:
+    """DuckDB expressions mirroring functions/text.py, shared by the
+    text_metrics and corpus_curate oracles."""
     from dlp_dataflow_deidentification_spark.functions.text import LANG_STOPWORDS
 
     def sw(words):
@@ -523,13 +541,34 @@ def _text_metrics_oracle() -> str:
         )
         lang_case += f"WHEN {cond} THEN CASE WHEN {hits[l]} > 0 THEN '{l}' ELSE 'und' END "
     lang_case += "ELSE 'und' END"
+    return {"n_tokens": n_tokens, "punct": punct, "quality": quality, "lang": lang_case}
+
+
+def _text_metrics_oracle() -> str:
+    m = _metric_sql_exprs()
     return (
         "SELECT doc_id,"
-        f" CAST({n_tokens} AS BIGINT) AS n_tokens,"
+        f" CAST({m['n_tokens']} AS BIGINT) AS n_tokens,"
         " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,"
-        f" round({punct}, 6) AS punct_ratio,"
-        f" {quality} AS quality,"
-        f" {lang_case} AS lang_pred,"
+        f" round({m['punct']}, 6) AS punct_ratio,"
+        f" {m['quality']} AS quality,"
+        f" {m['lang']} AS lang_pred,"
         " md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
         " FROM documents"
+    )
+
+
+def _corpus_curate_oracle() -> str:
+    m = _metric_sql_exprs()
+    return (
+        f"WITH docs AS ({DOCS_SQL}),"
+        f" metrics AS (SELECT doc_id, text, {m['quality']} AS quality,"
+        f"   {m['lang']} AS lang_pred, CAST({m['n_tokens']} AS BIGINT) AS n_tokens FROM docs),"
+        f" kept AS (SELECT * FROM metrics WHERE quality >= 0.3 AND n_tokens >= 8"
+        f"   AND lang_pred IN ('en', 'und')),"
+        f" winners AS (SELECT min(doc_id) AS doc_id FROM"
+        f"   (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM kept)"
+        f"   GROUP BY norm)"
+        f" SELECT k.doc_id, k.quality, k.lang_pred, k.n_tokens"
+        f" FROM kept k JOIN winners w ON k.doc_id = w.doc_id"
     )

@@ -1,0 +1,62 @@
+"""Composed corpus-curation pipeline for training data.
+
+Chains the text-analysis functions and dedup operators into the standard
+pretraining-corpus pass: quality/language filter → exact dedup → (optional)
+near-dup removal → PII de-identification. Each stage is a narrow native
+projection or a single hash-aggregate; the whole filter+dedup+deid pass is
+two shuffles (dedup groupBy + optional LSH join) regardless of corpus size.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..plans.config import DeidTemplate
+from .dedup import exact_dedup, minhash_lsh_pairs
+from .deidentify import deidentify
+
+
+def curate(
+    df: DataFrame,
+    template: DeidTemplate | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 8,
+    languages: tuple = ("en",),
+    near_dup_threshold: float | None = None,
+) -> DataFrame:
+    """Filter + dedup (+ deid) a document corpus.
+
+    Returns surviving rows with quality metadata columns attached:
+    ``quality``, ``lang_pred``, ``n_tokens``. Winners of duplicate groups are
+    deterministic (smallest id), so the result is replay-stable.
+    """
+    c = F.col(text_col)
+    scored = df.withColumn("quality", T.quality_score(c)).withColumn(
+        "lang_pred", T.lang_id(c)
+    ).withColumn("n_tokens", T.token_count(c).cast("long"))
+
+    kept = scored.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("lang_pred").isin(*languages))
+    )
+
+    # exact dedup: keep the smallest id per normalized text
+    winners = exact_dedup(kept, text_col, id_col).select(id_col)
+    kept = kept.join(winners, id_col, "left_semi")
+
+    if near_dup_threshold is not None:
+        pairs = minhash_lsh_pairs(
+            kept, text_col, id_col, threshold=near_dup_threshold
+        )
+        # drop the larger id of each near-dup pair (transitive chains resolve
+        # over iterations at scale; one pass suffices for pairwise dup sets)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(losers, id_col, "left_anti")
+
+    if template is not None:
+        kept = deidentify(kept, template)
+    return kept

@@ -47,24 +47,31 @@ def inspect(
     Pure regexp_extract_all + explode → no Python, no shuffle.
     """
     dets = [resolve(d) for d in detectors]
-    parts = []
+    # single-pass plan: per row, one array of finding-structs covering every
+    # (column, detector) pair, then one explode — the source is scanned ONCE
+    # (the naive per-detector union would re-scan it len(dets)·len(cols) times)
+    def _tag(col: str, it: InfoType):
+        # single-arg lambda (PySpark HOFs dispatch on arity)
+        return lambda q: F.struct(
+            F.lit(col).alias("field_id"),
+            F.lit(it.name).alias("info_type_name"),
+            F.lit(it.likelihood).alias("likelihood"),
+            q.alias("quote"),
+        )
+
+    per_pair = []
     for col in text_columns:
         for it in dets:
-            parts.append(
-                df.select(
-                    *[F.col(c) for c in id_columns],
-                    F.lit(col).alias("field_id"),
-                    F.lit(it.name).alias("info_type_name"),
-                    F.lit(it.likelihood).alias("likelihood"),
-                    F.explode(
-                        F.regexp_extract_all(F.col(col), F.lit(it.pattern), F.lit(0))
-                    ).alias("quote"),
+            per_pair.append(
+                F.transform(
+                    F.regexp_extract_all(F.col(col), F.lit(it.pattern), F.lit(0)),
+                    _tag(col, it),
                 )
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    findings = F.flatten(F.array(*per_pair))
+    return df.select(
+        *[F.col(c) for c in id_columns], F.explode(findings).alias("f")
+    ).select(*id_columns, "f.*")
 
 
 _FINDING = StructType(

@@ -122,6 +122,20 @@ def test_reidentify_roundtrip_on_column(spark):
     )
 
 
+def test_inspect_plan_scans_source_once(spark, sf_dir, template):
+    """Scale guard: N detectors × M columns must not become N·M source scans
+    (single-pass flatten/explode projection)."""
+    tdf = load_transcripts(spark, sf_dir)
+    plan = (
+        dds.inspect(tdf, template.detectors, ["text"], id_columns=["conv_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Python" not in plan
+
+
 def test_deid_plan_is_single_codegen_projection(spark, sf_dir, template):
     """Scale guard: the whole DEID stage must be one narrow projection —
     no shuffle, no Python, filter/scan pushdown intact."""
