@@ -60,7 +60,11 @@ def read_transcript_stream(
 
 @dataclass
 class StreamingDeidJob:
-    """DEID streaming pipeline: source → deidentify → exactly-once sink."""
+    """Streaming pipeline: source → INSPECT/DEID/REID → exactly-once sink.
+
+    ``mode`` mirrors the reference's DLPMethod switch
+    (DLPTextToBigQueryStreamingV2.java:94-108): "deid" (default), "inspect"
+    (findings stream), or "reid" (detokenize ``reid_columns``)."""
 
     spark: SparkSession
     template: DeidTemplate
@@ -69,12 +73,33 @@ class StreamingDeidJob:
     checkpoint_dir: str
     num_shards: int = 0  # >0: salted repartition for hot conv_ids before the sink
     max_files_per_trigger: int | None = None
+    mode: str = "deid"
+    text_columns: tuple = ("text",)
+    reid_columns: tuple = ("text",)
+    crypto_key: str = "0123456789abcdef"
+    partition_output_by: str | None = None  # dynamic destinations (per-key)
 
     def sink(self) -> IdempotentBatchSink:
-        return IdempotentBatchSink(self.output_dir)
+        return IdempotentBatchSink(self.output_dir, partition_col=self.partition_output_by)
 
     def transformed(self, df: DataFrame) -> DataFrame:
-        out = deidentify(df, self.template)
+        if self.mode == "deid":
+            out = deidentify(df, self.template)
+        elif self.mode == "inspect":
+            from ..operators.inspect import inspect
+
+            out = inspect(
+                df,
+                self.template.detectors,
+                list(self.text_columns),
+                id_columns=["conv_id", "turn_idx", "ts"],
+            )
+        elif self.mode == "reid":
+            from ..operators.deidentify import reidentify
+
+            out = reidentify(df, list(self.reid_columns), self.crypto_key)
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
         if self.num_shards:
             out = salted_repartition(out, "conv_id", self.num_shards, "turn_idx")
         return out

@@ -37,6 +37,10 @@ class IdempotentBatchSink:
     output_dir: str
     event_time_col: str = "ts"
     key_cols: tuple = ("conv_id", "turn_idx")
+    # dynamic destinations (BigQueryDynamicWriteTransform analogue): partition
+    # each batch directory by this column so every source key gets its own
+    # sub-table, while the batchId ledger still governs exactly-once
+    partition_col: str | None = None
     # in-memory mirror of committed ids (the ledger on disk is authoritative)
     _committed: set = field(default_factory=set)
 
@@ -64,16 +68,23 @@ class IdempotentBatchSink:
         # beam/BatchRequestForDLP.java:37-40)
         from pyspark.sql import Observation
 
-        et = F.col(self.event_time_col).cast("timestamp")
         obs = Observation(f"lineage_{batch_id}")
-        observed = batch_df.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min(et).cast("string").alias("min_event_time"),
-            F.max(et).cast("string").alias("max_event_time"),
-            F.approx_count_distinct(self.key_cols[0]).alias("approx_keys"),
-        )
-        observed.write.mode("overwrite").parquet(target)
+        metrics_exprs = [F.count(F.lit(1)).alias("n_rows")]
+        if self.event_time_col in batch_df.columns:
+            et = F.col(self.event_time_col).cast("timestamp")
+            metrics_exprs += [
+                F.min(et).cast("string").alias("min_event_time"),
+                F.max(et).cast("string").alias("max_event_time"),
+            ]
+        if self.key_cols and self.key_cols[0] in batch_df.columns:
+            metrics_exprs.append(
+                F.approx_count_distinct(self.key_cols[0]).alias("approx_keys")
+            )
+        observed = batch_df.observe(obs, *metrics_exprs)
+        writer = observed.write.mode("overwrite")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(target)
 
         entry = {
             "batch_id": batch_id,

@@ -1,0 +1,138 @@
+"""Streaming INSPECT/REID modes + dynamic per-key destinations + mid-stream
+kill/resume (reference DLPMethod switch, DLPTextToBigQueryStreamingV2.java:94-108)."""
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import dlp_dataflow_deidentification_spark as dds
+from dlp_dataflow_deidentification_spark.sources.transcripts import synthesize_transcripts
+from dlp_dataflow_deidentification_spark.streaming import jobs
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def template():
+    return dds.DeidTemplate.from_file(os.path.join(HERE, "configs/deid_transcripts.json"))
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("modes_in"))
+    synthesize_transcripts(spark, 2000, n_conversations=60).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_streaming_inspect_mode_equals_batch(spark, tmp_path, input_dir, template):
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mode="inspect",
+    )
+    job.run_to_completion()
+    got = (
+        job.sink()
+        .read_committed(spark)
+        .groupBy("info_type_name")
+        .count()
+        .collect()
+    )
+    got = {r.info_type_name: r["count"] for r in got}
+    want = (
+        dds.inspect(
+            spark.read.parquet(input_dir),
+            template.detectors,
+            ["text"],
+            id_columns=["conv_id"],
+        )
+        .groupBy("info_type_name")
+        .count()
+        .collect()
+    )
+    want = {r.info_type_name: r["count"] for r in want}
+    assert got == want and len(want) >= 4
+
+
+def test_streaming_reid_inverts_streaming_deid(spark, tmp_path, input_dir, template):
+    """DEID stream → tokenized table → REID stream → original text, all
+    through the exactly-once sink (crypto roundtrip across two streaming jobs)."""
+    from dlp_dataflow_deidentification_spark.functions import transforms
+
+    # tokenize `text` deterministically (deid with cryptoDeterministic on text)
+    tok_dir = str(tmp_path / "tok")
+    tdf = spark.read.parquet(input_dir)
+    tdf.withColumn(
+        "text", transforms.crypto_deterministic(F.col("text"), "0123456789abcdef")
+    ).write.parquet(tok_dir)
+
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        tok_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mode="reid",
+        reid_columns=("text",),
+    )
+    job.run_to_completion()
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in job.sink().read_committed(spark).select("conv_id", "turn_idx", "text").collect()
+    }
+    want = {(r.conv_id, r.turn_idx): r.text for r in tdf.select("conv_id", "turn_idx", "text").collect()}
+    assert got == want and len(got) == 2000
+
+
+def test_dynamic_per_key_destinations(spark, tmp_path, input_dir, template):
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        partition_output_by="role",
+    )
+    job.run_to_completion()
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(str(tmp_path / "out"), "data")) if d.startswith("batch_id=")
+    ]
+    parts = set(os.listdir(os.path.join(str(tmp_path / "out"), "data", batch_dirs[0])))
+    assert {"role=agent", "role=customer", "role=tool"} <= parts
+    assert job.sink().read_committed(spark).count() == 2000
+
+
+def test_kill_mid_stream_then_resume_exactly_once(spark, tmp_path, input_dir, template):
+    """Stop the query after the first micro-batch (mid-stream kill), restart
+    from the same checkpoint, and verify no loss and no duplicates."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    job = jobs.StreamingDeidJob(
+        spark, template, input_dir, out, ckpt, max_files_per_trigger=1
+    )
+    q = job.start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        ids = job.sink().committed_ids()
+        if len(ids) >= 2:  # at least one full batch committed, more pending
+            break
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream
+    partial = job.sink().read_committed(spark).count()
+    assert 0 < partial < 2000
+
+    job2 = jobs.StreamingDeidJob(
+        spark, template, input_dir, out, ckpt, max_files_per_trigger=1
+    )
+    job2.run_to_completion()
+    final = job2.sink().read_committed(spark)
+    assert final.count() == 2000
+    assert (
+        final.groupBy("conv_id", "turn_idx", "ts").count().filter("count > 1").count()
+        == 0
+    )
