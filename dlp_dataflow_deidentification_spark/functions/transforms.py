@@ -253,6 +253,26 @@ def fixed_size_bucketing(col: Column, lower: float, upper: float, size: float) -
 # ---------------------------------------------------------------------------
 
 
+def time_part(col: Column, part: str = "YEAR") -> Column:
+    """DLP timePartConfig: reduce a date/timestamp to one part (YEAR, MONTH,
+    DAY_OF_MONTH, DAY_OF_WEEK, WEEK_OF_YEAR, HOUR_OF_DAY) — generalization
+    that discards the rest of the timestamp."""
+    t = col.cast("timestamp")
+    parts = {
+        "YEAR": F.year,
+        "MONTH": F.month,
+        "DAY_OF_MONTH": F.dayofmonth,
+        "DAY_OF_WEEK": F.dayofweek,
+        "WEEK_OF_YEAR": F.weekofyear,
+        "HOUR_OF_DAY": F.hour,
+    }
+    try:
+        fn = parts[part]
+    except KeyError:
+        raise ValueError(f"unsupported timePart {part!r}; one of {sorted(parts)}") from None
+    return fn(t).cast("string")
+
+
 def date_shift(col: Column, context: Column, key: str, max_days: int = 100) -> Column:
     """Shift a date/timestamp by a deterministic per-context number of days in
     [-max_days, max_days] (DLP dateShiftConfig with cryptoKey context)."""

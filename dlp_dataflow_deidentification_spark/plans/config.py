@@ -137,6 +137,9 @@ def _primitive(prim: dict, crypto_key: str) -> Callable[[Column], Column]:
             _num(fb["upperBound"]),
             float(fb["bucketSize"]),
         )
+    if "timePartConfig" in prim:
+        part = prim["timePartConfig"].get("partToExtract", "YEAR")
+        return lambda c: transforms.time_part(c, part)
     if "replaceConfig" in prim:
         nv = prim["replaceConfig"]["newValue"]["stringValue"]
         return lambda c: F.lit(nv)

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): invariants the reference's CI never
+checks but our engine guarantees. One shared Spark round-trip helper batches
+each property's examples into a single job to keep runtime sane."""
+import re
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dlp_dataflow_deidentification_spark.functions import infotypes, transforms
+
+KEY = "0123456789abcdef"
+
+# printable-ish text including PII-like fragments
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " .-@:()[]+",
+    min_size=0,
+    max_size=120,
+)
+
+
+def run_col(spark, values, expr_fn):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(expr_fn(F.col("v")).alias("o")).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_crypto_roundtrip_property(spark, values):
+    toks = run_col(
+        spark, values, lambda c: transforms.crypto_deterministic(c, KEY)
+    )
+    back = run_col(
+        spark,
+        toks,
+        lambda c: transforms.crypto_reidentify(c, KEY),
+    )
+    assert back == values
+    # determinism: equal plaintexts ⇒ equal tokens, and vice versa
+    for v, t in zip(values, toks):
+        for v2, t2 in zip(values, toks):
+            assert (v == v2) == (t == t2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_replace_with_infotype_matches_python_re(spark, values):
+    dets = [infotypes.resolve(n) for n in infotypes.DEFAULT_DETECTOR_ORDER]
+    got = run_col(spark, values, lambda c: transforms.replace_with_infotype(c, dets))
+    for v, g in zip(values, got):
+        expect = v
+        for it in dets:
+            expect = re.sub(it.pattern, f"[{it.name}]", expect)
+        assert g == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet=string.ascii_letters + "-", min_size=0, max_size=30), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_character_mask_invariants(spark, values, n):
+    got = run_col(
+        spark, values, lambda c: transforms.character_mask(c, "*", n, False, "-")
+    )
+    for v, g in zip(values, got):
+        assert len(g) == len(v)  # masking never changes length
+        # skip chars preserved in place
+        for i, ch in enumerate(v):
+            if ch == "-":
+                assert g[i] == "-"
+        # number of masked positions == min(n, maskable count)
+        maskable = sum(1 for ch in v if ch != "-")
+        n_masked = sum(1 for b in g if b == "*")
+        assert n_masked == min(n, maskable)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(min_value=-1000, max_value=1000, allow_nan=False), min_size=1, max_size=8))
+def test_fixed_size_bucketing_total(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = [
+        r[0]
+        for r in df.select(
+            transforms.fixed_size_bucketing(F.col("v"), 0, 100, 10).alias("o")
+        ).collect()
+    ]
+    for v, g in zip(values, got):
+        if v < 0:
+            assert g == "<0.0"
+        elif v >= 100:
+            assert g == ">=100.0"
+        else:
+            lo = (int(v) // 10) * 10
+            assert g == f"{float(lo)}-{float(lo+10)}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_inspect_quotes_substring_property(spark, values):
+    from dlp_dataflow_deidentification_spark.operators.inspect import inspect
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "rid int, text string"
+    )
+    rows = inspect(df, infotypes.DEFAULT_DETECTOR_ORDER, ["text"], ["rid"]).collect()
+    for r in rows:
+        assert r.quote in values[r.rid]  # every finding is a real substring

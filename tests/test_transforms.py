@@ -140,6 +140,39 @@ def test_redact_and_replace_value(spark):
     assert out == ["mail <gone> now"]
 
 
+def test_time_part(spark):
+    out = run1(
+        spark,
+        ["2024-03-15 13:45:00"],
+        lambda c: transforms.time_part(c, "YEAR"),
+    )
+    assert out == ["2024"]
+    out = run1(
+        spark,
+        ["2024-03-15 13:45:00"],
+        lambda c: transforms.time_part(c, "HOUR_OF_DAY"),
+    )
+    assert out == ["13"]
+    with pytest.raises(ValueError):
+        transforms.time_part(F.col("x"), "CENTURY")
+
+
+def test_dictionary_detector(spark):
+    from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
+
+    det = dictionary("PROJECT_CODENAME", ["blue falcon", "redwood", "red"])
+    out = run1(
+        spark,
+        ["met blue falcon and redwood today", "redo red ready"],
+        lambda c: transforms.replace_with_infotype(c, [det]),
+    )
+    # longest-phrase-first alternation; \b guards partial words
+    assert out == [
+        "met [PROJECT_CODENAME] and [PROJECT_CODENAME] today",
+        "redo [PROJECT_CODENAME] ready",
+    ]
+
+
 def test_date_shift_deterministic_bounded(spark):
     df = spark.createDataFrame(
         [("2024-01-15 00:00:00", "u1"), ("2024-01-15 00:00:00", "u1"), ("2024-01-15 00:00:00", "u2")],
