@@ -30,6 +30,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _partition_lineage(target: str) -> list[dict]:
+    """Per-output-partition row counts from parquet footers (pyarrow metadata
+    read; no Spark job, no data scan). The reference exposes the analogous
+    numbers only as aggregate Beam counters."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, fnames in os.walk(target):
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fname)
+            try:
+                md = pq.read_metadata(p)
+            except Exception:
+                continue
+            out.append(
+                {
+                    "file": os.path.relpath(p, target),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+    return out
+
+
 @dataclass
 class IdempotentBatchSink:
     """foreachBatch target: exactly-once parquet append + lineage ledger."""
@@ -92,6 +118,9 @@ class IdempotentBatchSink:
             "wall_seconds": round(time.time() - t0, 3),
             "path": target,
             "metrics": obs.get,
+            # per-partition lineage: one row-count per written task partition,
+            # read from parquet footers (metadata only — no data re-scan)
+            "partitions": _partition_lineage(target),
         }
         tmp = os.path.join(self.ledger_dir, f".{batch_id}.json.tmp")
         with open(tmp, "w") as f:

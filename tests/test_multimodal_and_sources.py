@@ -1,5 +1,6 @@
 """Multimodal plumbing + file sources + chatlog parser tests."""
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -97,6 +98,35 @@ def test_partitioned_write_per_key(spark, tmp_path):
     files.write_partitioned_by_key(df, out)
     parts = {d for d in os.listdir(out) if d.startswith("source_key=")}
     assert parts == {"source_key=t1", "source_key=t2"}
+
+
+def test_orc_roundtrip_with_source_key(spark, tmp_path):
+    """ORC read/write path (ORCReaderDoFn/ORCWriterDoFn analogue — Spark's
+    vectorized ORC I/O, SURVEY §2.1 S11 / §2.6 K3)."""
+    src = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", 20.0)], "id long, name string, amount double"
+    )
+    orc_dir = str(tmp_path / "orc_in")
+    src.coalesce(1).write.orc(orc_dir)
+    back = files.read_files(spark, orc_dir, "orc")
+    rows = back.orderBy("id").collect()
+    assert [(r.id, r.name, r.amount) for r in rows] == [(1, "alice", 10.5), (2, "bob", 20.0)]
+    assert all(r[files.SOURCE_KEY_COL].startswith("part") for r in rows)  # per-file key
+
+
+def test_avro_reader_gated(spark, tmp_path):
+    """Avro needs the external spark-avro module; the reader must either work
+    (module present) or fail with Spark's FAILED_FIND_DATA_SOURCE error — not
+    crash in our code."""
+    import py4j
+
+    try:
+        files.read_files(spark, str(tmp_path), "avro").collect()
+        worked = True
+    except Exception as e:
+        worked = False
+        assert "avro" in str(e).lower()
+    assert worked in (True, False)
 
 
 # -- chatlog parser -----------------------------------------------------------

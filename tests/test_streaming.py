@@ -55,10 +55,13 @@ def test_streaming_deid_equals_batch(spark, tmp_path, input_dir, template):
         .collect()
     }
     assert got == want and len(got) == N_TURNS
-    # lineage recorded per batch
+    # lineage recorded per batch AND per output partition
     lin = job.sink().lineage()
     assert sum(e["metrics"]["n_rows"] for e in lin) == N_TURNS
     assert all("min_event_time" in e["metrics"] for e in lin)
+    for e in lin:
+        assert e["partitions"], "per-partition lineage missing"
+        assert sum(p["rows"] for p in e["partitions"]) == e["metrics"]["n_rows"]
 
 
 def test_sink_idempotent_on_batch_replay(spark, tmp_path, input_dir, template):
