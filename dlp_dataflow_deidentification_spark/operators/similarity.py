@@ -61,25 +61,30 @@ def cosine_topk(
     )
 
 
+def _plane_components(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic zero-mean pseudo-random hyperplane, computed ONCE at
+    plan-build time (driver) and embedded as a literal array — the previous
+    per-row xxhash derivation recomputed dim hashes per plane per row."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"{seed}:{plane}:{d}".encode()).digest()
+        out.append((int.from_bytes(h[:4], "big") % 2001) - 1000.0)
+    return out
+
+
 def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11):
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_i> for n_planes
-    deterministic pseudo-random hyperplanes (components derived from
-    xxhash64(seed, plane, dim_index), zero-mean). Pure JVM expression."""
+    deterministic hyperplanes (literal constant arrays). Pure JVM expression;
+    per row: n_planes · dim multiply-adds, zero hashing."""
     v = _as_double(vec_col)
-    bits = []
+    out = F.lit(0)
     for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)) - F.lit(1000)
-            ).cast("double"),
-        )
-        bits.append(
+        comps = F.array(*[F.lit(c) for c in _plane_components(seed, p, dim)])
+        out = out.bitwiseOR(
             F.when(_dot(v, comps) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
         )
-    out = F.lit(0)
-    for b in bits:
-        out = out.bitwiseOR(b)
     return out
 
 
