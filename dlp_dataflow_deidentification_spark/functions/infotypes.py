@@ -72,6 +72,32 @@ BUILTIN_INFOTYPES: dict[str, InfoType] = {
             r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
             kind="builtin",
         ),
+        InfoType(
+            "IPV6_ADDRESS",
+            r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b",
+            kind="builtin",
+        ),
+        InfoType(
+            "MAC_ADDRESS",
+            r"\b[0-9A-Fa-f]{2}(?::[0-9A-Fa-f]{2}){5}\b",
+            kind="builtin",
+        ),
+        InfoType(
+            "URL",
+            r"https?://[A-Za-z0-9.\-]+(?:/[A-Za-z0-9._~:/?#@!$&'()*+,;=%\-]*)?",
+            kind="builtin",
+        ),
+        InfoType(
+            "DATE_OF_BIRTH",
+            # contextual: dob/born marker + ISO or US date
+            r"\b(?:dob|born)[: ]+(?:[0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{1,2}/[0-9]{1,2}/[0-9]{4})",
+            kind="builtin",
+        ),
+        InfoType(
+            "US_PASSPORT",
+            r"\bpassport[#: ]+[A-Z0-9]{6,9}\b",
+            kind="builtin",
+        ),
     ]
 }
 
