@@ -192,15 +192,25 @@ def crypto_deterministic(col: Column, key: str, surrogate_info_type: str | None 
     return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(tok)
 
 
-def crypto_reidentify(col: Column, key: str, surrogate_info_type: str | None = None) -> Column:
+def crypto_reidentify(
+    col: Column,
+    key: str,
+    surrogate_info_type: str | None = None,
+    strict: bool = True,
+) -> Column:
     """Inverse of crypto_deterministic (reference REID path:
-    /root/reference/src/main/java/com/google/swarm/tokenization/beam/DLPReidentifyText.java:323-381)."""
+    /root/reference/src/main/java/com/google/swarm/tokenization/beam/DLPReidentifyText.java:323-381).
+
+    ``strict=False`` uses try_aes_decrypt: corrupt/foreign tokens become NULL
+    instead of failing the job (route them to the error table — the
+    reference's API-error side output, common/DLPTransform.java:330-343)."""
     _check_key(key)
     s = col.cast("string")
     if surrogate_info_type:
         # strip "NAME(len):" envelope
         s = F.regexp_replace(s, r"^[A-Z0-9_]+\([0-9]+\):", "")
-    return F.aes_decrypt(F.unbase64(s), F.lit(key), F.lit("ECB"), F.lit("PKCS")).cast("string")
+    dec = F.try_aes_decrypt if not strict else F.aes_decrypt
+    return dec(F.unbase64(s), F.lit(key), F.lit("ECB"), F.lit("PKCS")).cast("string")
 
 
 def _check_key(key: str) -> None:

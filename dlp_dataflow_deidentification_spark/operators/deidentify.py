@@ -35,13 +35,17 @@ def reidentify(
     columns: list[str],
     key: str,
     surrogate_info_type: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Reverse deterministic tokenization on selected columns (reference REID:
     re-identify-config.config:8-27; output table suffix `_re_id`,
-    common/DLPTransform.java:196-197)."""
+    common/DLPTransform.java:196-197). ``strict=False`` nulls corrupt tokens
+    instead of failing (pair with plans.pipeline.split_malformed for the
+    error-table side output)."""
     out = df
     for name in columns:
         out = out.withColumn(
-            name, transforms.crypto_reidentify(out[name], key, surrogate_info_type)
+            name,
+            transforms.crypto_reidentify(out[name], key, surrogate_info_type, strict),
         )
     return out

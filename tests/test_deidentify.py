@@ -136,6 +136,44 @@ def test_inspect_plan_scans_source_once(spark, sf_dir, template):
     assert "Python" not in plan
 
 
+def test_reidentify_tolerant_mode_nulls_corrupt_tokens(spark):
+    df = spark.createDataFrame(
+        [("c1", "Alice"), ("c2", "Bob")], "id string, name string"
+    )
+    enc = df.withColumn("name", dds.transforms.crypto_deterministic(F.col("name"), KEY))
+    corrupt = enc.unionByName(
+        spark.createDataFrame([("c3", "not-a-token!!")], "id string, name string")
+    )
+    out = {r.id: r.name for r in dds.reidentify(corrupt, ["name"], KEY, strict=False).collect()}
+    assert out["c1"] == "Alice" and out["c2"] == "Bob" and out["c3"] is None
+    # strict mode raises on the same input
+    with pytest.raises(Exception):
+        dds.reidentify(corrupt, ["name"], KEY, strict=True).collect()
+
+
+def test_inspection_report_schema(spark, sf_dir, template):
+    tdf = load_transcripts(spark, sf_dir).limit(50)
+    findings = dds.inspect_offsets(
+        tdf, template.detectors, ["text"], id_columns=["conv_id"]
+    )
+    rep = dds.inspection_report(findings, job_name="job1", source_col="conv_id")
+    rows = rep.collect()
+    assert rows
+    # Util.java:162-173 schema mirror
+    assert rep.columns == [
+        "job_name",
+        "source_file",
+        "transaction_time",
+        "quote",
+        "info_type_name",
+        "likelihood",
+        "location_start_byte_range",
+        "location_end_byte_range",
+        "record_loc_field_id",
+    ]
+    assert all(r.job_name == "job1" and r.record_loc_field_id == "text" for r in rows)
+
+
 def test_deid_plan_is_single_codegen_projection(spark, sf_dir, template):
     """Scale guard: the whole DEID stage must be one narrow projection —
     no shuffle, no Python, filter/scan pushdown intact."""
