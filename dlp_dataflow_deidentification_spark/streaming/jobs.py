@@ -83,6 +83,9 @@ class StreamingDeidJob:
         return IdempotentBatchSink(self.output_dir, partition_col=self.partition_output_by)
 
     def transformed(self, df: DataFrame) -> DataFrame:
+        # numberOfRowsRead counter analogue (reference:
+        # DLPTextToBigQueryStreaming.java:683-686) — per-batch observed metric
+        df = df.observe("reader", F.count(F.lit(1)).alias("rows_read"))
         if self.mode == "deid":
             out = deidentify(df, self.template)
         elif self.mode == "inspect":

@@ -23,6 +23,7 @@ class BatchStats:
     num_input_rows: int
     batch_duration_ms: float
     processed_rows_per_second: float
+    observed: dict | None = None  # named observe() metrics (rows_read, ...)
 
 
 class ProgressCapture(StreamingQueryListener):
@@ -42,6 +43,7 @@ class ProgressCapture(StreamingQueryListener):
                 num_input_rows=p.get("numInputRows", 0),
                 batch_duration_ms=p.get("batchDuration", 0),
                 processed_rows_per_second=p.get("processedRowsPerSecond", 0.0),
+                observed=p.get("observedMetrics") or None,
             )
         )
 

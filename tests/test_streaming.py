@@ -213,6 +213,13 @@ def test_progress_capture_metrics(spark, tmp_path, input_dir, template):
     assert len([b for b in cap.batches if b.num_input_rows > 0]) >= 3  # sliced micro-batches
     assert cap.p50_batch_ms() > 0
     assert cap.throughput_rows_per_sec() > 0
+    # numberOfRowsRead counter analogue surfaced via observe()
+    read = sum(
+        b.observed["reader"]["rows_read"]
+        for b in cap.batches
+        if b.observed and "reader" in b.observed
+    )
+    assert read == N_TURNS
 
 
 def test_salted_repartition_spreads_hot_key(spark, input_dir):
