@@ -270,6 +270,25 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_infotype_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window, 1h slide) per-window infoType-hit aggregate
+    (north_rule sliding-window requirement, batch form of
+    streaming/windows.py::windowed_infotype_hits with slide)."""
+    from dlp_dataflow_deidentification_spark.streaming import windows
+
+    tdf = _transcripts(spark, sf_dir)
+    out = windows.windowed_infotype_hits(
+        tdf, TRANSCRIPT_DETECTORS, window="2 hours", slide="1 hour", watermark="1 minute"
+    )
+    return out.select(
+        sess.epoch_seconds(F.col("window_start").cast("timestamp")).alias(
+            "window_start_epoch"
+        ),
+        "info_type_name",
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pass: quality/lang/token filter + exact dedup."""
     from dlp_dataflow_deidentification_spark.operators import corpus
@@ -353,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chatlog_roundtrip": q_chatlog_roundtrip,
         "inspect_offsets": q_inspect_offsets,
         "corpus_curate": q_corpus_curate,
+        "sliding_infotype_hits": q_sliding_infotype_hits,
     }
 
 
@@ -484,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_metrics": _text_metrics_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
+        "sliding_infotype_hits": _sliding_hits_oracle(),
         "chatlog_roundtrip": (
             f"{t} SELECT CASE WHEN conv_id = 'conv-hot' THEN '9999'"
             f" ELSE substr(conv_id, 6, 10) END AS conv_id,"
@@ -555,6 +576,35 @@ def _text_metrics_oracle() -> str:
         f" {m['lang']} AS lang_pred,"
         " md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
         " FROM documents"
+    )
+
+
+def _sliding_hits_oracle() -> str:
+    """2h/1h sliding windows: each PII-bearing event lands in exactly two
+    hour-aligned windows (epoch-aligned, same as Spark's window())."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    arms = []
+    for name in TRANSCRIPT_DETECTORS:
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        arms.append(
+            f"SELECT ts, '{it.name}' AS info_type_name,"
+            f" len(regexp_extract_all(text, '{pat}')) AS n FROM transcripts"
+        )
+    hits_union = " UNION ALL ".join(arms)
+    return (
+        f"{_transcripts_cte()},"
+        f" h AS ({hits_union}),"
+        f" f AS (SELECT * FROM h WHERE n > 0),"
+        f" w AS ("
+        f"  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,"
+        f"   info_type_name, n FROM f"
+        f"  UNION ALL"
+        f"  SELECT CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT),"
+        f"   info_type_name, n FROM f)"
+        f" SELECT window_start_epoch, info_type_name,"
+        f" CAST(SUM(n) AS BIGINT) AS n_hits FROM w GROUP BY 1, 2"
     )
 
 
