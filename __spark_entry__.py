@@ -188,24 +188,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.operators import dedup
 
     docs = _docs(spark, sf_dir).filter("doc_id % 5 = 0 OR doc_id >= 100000")
-    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=5, threshold=0.5, max_df=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification. The oracle is
+    plain exact Jaccard over ALL pairs, so the driver's hash-match doubles as
+    a 100%-recall proof for the LSH stage (bands=32, rows=2 at j>=0.5)."""
     from dlp_dataflow_deidentification_spark.operators import dedup
 
-    pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=64, bands=16, shingle_n=5, threshold=0.5
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=32, shingle_n=5, threshold=0.5
     )
-    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable simhash (60-bit md5-derived token hashes) so DuckDB computes
+    the identical fingerprints — full value oracle for the pair set."""
     from dlp_dataflow_deidentification_spark.operators import dedup
 
     docs = _docs(spark, sf_dir).filter("doc_id % 5 = 0 OR doc_id >= 100000")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, portable=True)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,14 +225,44 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+def _ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 9 planted near-neighbors per query vector: copy k of
+    query v is v + c_k·reverse(v) with c_k = 0.02k (sims ≈ 0.9996…0.984,
+    all far above the ~0.4 max random-pair sim). Deterministic double-
+    precision arithmetic reproduced bit-identically in the DuckDB oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+
+    def _pert(c):
+        return lambda a, b: a + F.lit(c) * b
+
+    out = emb
+    for k in range(1, 10):
+        out = out.unionByName(
+            qs.select(
+                (F.col("vec_id") + 1000000 * k).alias("vec_id"),
+                F.zip_with("embedding", F.reverse("embedding"), _pert(0.02 * k)).alias(
+                    "embedding"
+                ),
+            )
+        )
+    return out
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a planted near-neighbor workload: the true top-10 of each
+    query are its 9 perturbed copies + itself (sim ≥ 0.98) — the regime ANN
+    indexes serve. The oracle is the EXACT cosine ranking, so the driver's
+    hash-match certifies recall@10 = 1.0 for the multi-table LSH."""
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+    corpus = _ann_corpus(spark, sf_dir)
+    qs = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.lsh_topk(emb, qs, k=10, n_planes=8, n_tables=4)
+    out = similarity.lsh_topk(corpus, qs, k=10, n_planes=8, n_tables=4)
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
@@ -337,12 +373,22 @@ def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Findings with codepoint offsets (Arrow pandas-UDF path; offsets are not
-    SQL-expressible in DuckDB → rows-only driver check; offset correctness is
-    pinned by tests/test_deidentify.py::test_inspect_offsets_schema_and_values)."""
+    """Findings with codepoint offsets (Arrow pandas-UDF path). The DuckDB
+    oracle derives match offsets from cumulative segment/match lengths of
+    regexp_split + regexp_extract_all (see _inspect_offsets_oracle)."""
     tdf = _transcripts(spark, sf_dir)
-    return dds.inspect_offsets(
+    out = dds.inspect_offsets(
         tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "field_id",
+        "info_type_name",
+        "likelihood",
+        "quote",
+        F.col("location_start").cast("long").alias("location_start"),
+        F.col("location_end").cast("long").alias("location_end"),
     )
 
 
@@ -419,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM transcripts"
         ),
         "inspect_findings": f"{t} {inspect_union}",
+        "inspect_offsets": _inspect_offsets_oracle(),
         "deid_cards": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id,"
             f" sha256('{KEY}' || card_pin) AS card_pin,"
@@ -460,28 +507,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             f"WITH docs AS ({DOCS_SQL})"
             f" SELECT min(doc_id) AS doc_id, count(*) AS n_copies"
-            f" FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM docs)"
-            f" GROUP BY norm"
+            f" FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest FROM docs)"
+            f" GROUP BY digest"
         ),
-        "ngram_jaccard": (
-            f"WITH docs AS ({DOCS_SQL}),"
-            f" filt AS (SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000),"
-            f" words AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM filt),"
-            f" sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g"
-            f"        FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
-            f"        WHERE len(w) >= 5),"
-            f" sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
-            f" pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common"
-            f"           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id"
-            f"           GROUP BY 1, 2)"
-            f" SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard"
-            f" FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
-            f" WHERE common / (sa.n + sb.n - common) >= 0.5"
+        "ngram_jaccard": _ngram_jaccard_oracle(
+            "SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000", max_df=1000
         ),
-        # minhash_dedup / simhash_dedup / ann_lsh_topk: xxhash64-based
-        # signatures are not expressible in DuckDB → rows-only driver check;
-        # ground-truth recall is pinned by tests/test_dedup.py +
-        # tests/test_similarity.py instead.
+        # minhash_dedup's oracle is plain exact Jaccard over ALL pairs (no df
+        # cap, no LSH): equality certifies both the exact-verify stage and
+        # 100% LSH recall at the threshold on this corpus.
+        "minhash_dedup": _ngram_jaccard_oracle("SELECT * FROM docs", max_df=None),
+        "simhash_dedup": _simhash_oracle(
+            "SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000", max_hamming=3
+        ),
         "cosine_topk": (
             " WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
             "            FROM embeddings WHERE vec_id % 100 = 0),"
@@ -492,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
             "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
             " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
         ),
+        # ann_lsh_topk's oracle is the EXACT cosine ranking over the planted
+        # near-neighbor corpus: equality certifies recall@10 = 1.0 for the
+        # multi-table Hamming-1-probe LSH (ranks/sims of true top-10 members
+        # are identical by construction once every member is a candidate).
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "embedding_dedup": (
             " WITH ecorpus AS (SELECT vec_id, embedding FROM embeddings"
             "   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)"
@@ -608,6 +651,123 @@ def _sliding_hits_oracle() -> str:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """Exact cosine top-10 over the planted near-neighbor corpus (mirrors
+    _ann_corpus: copy k of query v is v + c_k*reverse(v)). The c_k literals
+    are injected via repr() so DuckDB parses the exact same double that
+    Spark's F.lit(0.02*k) produces."""
+    copy_arms = []
+    for k in range(1, 10):
+        c = repr(0.02 * k)
+        copy_arms.append(
+            f"SELECT query_id + {1000000 * k} AS vec_id,"
+            f" list_transform(generate_series(1, len(qv)),"
+            f"   i -> qv[i] + CAST({c} AS DOUBLE) * qv[len(qv) + 1 - i]) AS v"
+            f" FROM q"
+        )
+    copies = " UNION ALL ".join(copy_arms)
+    return (
+        " WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 100 = 0),"
+        f" corpus AS (SELECT vec_id, v FROM base UNION ALL {copies}),"
+        " scored AS (SELECT q.query_id, c.vec_id,"
+        "   list_cosine_similarity(q.qv, c.v) AS sim FROM corpus c, q),"
+        " ranked AS (SELECT *, row_number() OVER"
+        "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
+        " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
+    )
+
+
+def _ngram_jaccard_oracle(filt_sql: str, max_df: "int | None") -> str:
+    """Exact word-5-gram Jaccard pairs over the docs corpus. ``max_df`` caps
+    the inverted index used for candidate generation (mirrors
+    dedup.ngram_jaccard_pairs); Jaccard itself is always computed on the full
+    distinct-shingle sets. ``max_df=None`` = all shared-shingle pairs (the
+    plain exact truth, used as the minhash_dedup recall-proof oracle)."""
+    if max_df is None:
+        cand = (
+            " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+            "          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id),"
+        )
+    else:
+        cand = (
+            f" keepg AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= {max_df}),"
+            f" idx AS (SELECT doc_id, g FROM sh JOIN keepg USING (g)),"
+            f" cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+            f"          FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),"
+        )
+    return (
+        f"WITH docs AS ({DOCS_SQL}),"
+        f" filt AS ({filt_sql}),"
+        f" words AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM filt),"
+        f" sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g"
+        f"        FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
+        f"        WHERE len(w) >= 5),"
+        f" sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+        f"{cand}"
+        f" pairs AS (SELECT c.id_a, c.id_b, count(*) AS common"
+        f"           FROM cand c JOIN sh a ON a.doc_id = c.id_a"
+        f"           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g"
+        f"           GROUP BY 1, 2)"
+        f" SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard"
+        f" FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id"
+        f" WHERE common / (sa.n + sb.n - common) >= 0.5"
+    )
+
+
+def _simhash_oracle(filt_sql: str, max_hamming: int) -> str:
+    """60-bit portable simhash pairs: token hash = low 60 bits of md5
+    (identical to Spark's conv(substr(md5(w),1,15),16,10)), per-bit +1/-1
+    majority over token OCCURRENCES (not distinct), pairs with
+    bit_count(xor) <= max_hamming. Zero-token docs are excluded on both
+    sides (their simhash would be the constant 0)."""
+    return (
+        f"WITH docs AS ({DOCS_SQL}),"
+        f" filt AS ({filt_sql}),"
+        f" tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f"         w -> w <> '')) AS w FROM filt),"
+        f" h AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM tok),"
+        f" bits AS (SELECT doc_id, b,"
+        f"          SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s"
+        f"          FROM h, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),"
+        f" sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)"
+        f"        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh FROM bits GROUP BY doc_id)"
+        f" SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        f" CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming"
+        f" FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+        f" WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"
+    )
+
+
+def _inspect_offsets_oracle() -> str:
+    """Findings with codepoint offsets. For the i-th match of a pattern,
+    location_start = sum(len(segments[1..i])) + sum(len(matches[1..i-1]))
+    where segments = regexp_split_to_array(text, pat) — pure SQL, no
+    position functions needed, and exactly Python re.finditer's m.start()."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    arms = []
+    for name in TRANSCRIPT_DETECTORS:
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        arms.append(
+            f"SELECT conv_id, turn_idx, 'text' AS field_id,"
+            f" '{it.name}' AS info_type_name, '{it.likelihood}' AS likelihood,"
+            f" m[i] AS quote,"
+            f" CAST(coalesce(list_sum(list_transform(s[1:i], x -> length(x))), 0)"
+            f"  + coalesce(list_sum(list_transform(m[1:i-1], x -> length(x))), 0) AS BIGINT)"
+            f"  AS location_start,"
+            f" CAST(coalesce(list_sum(list_transform(s[1:i], x -> length(x))), 0)"
+            f"  + coalesce(list_sum(list_transform(m[1:i-1], x -> length(x))), 0)"
+            f"  + length(m[i]) AS BIGINT) AS location_end"
+            f" FROM (SELECT conv_id, turn_idx,"
+            f"   regexp_extract_all(text, '{pat}') AS m,"
+            f"   string_split_regex(text, '{pat}') AS s FROM transcripts),"
+            f" UNNEST(generate_series(1, len(m))) AS t(i)"
+        )
+    return f"{_transcripts_cte()} " + " UNION ALL ".join(arms)
+
+
 def _corpus_curate_oracle() -> str:
     m = _metric_sql_exprs()
     return (
@@ -617,8 +777,8 @@ def _corpus_curate_oracle() -> str:
         f" kept AS (SELECT * FROM metrics WHERE quality >= 0.3 AND n_tokens >= 8"
         f"   AND lang_pred IN ('en', 'und')),"
         f" winners AS (SELECT min(doc_id) AS doc_id FROM"
-        f"   (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM kept)"
-        f"   GROUP BY norm)"
+        f"   (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest FROM kept)"
+        f"   GROUP BY digest)"
         f" SELECT k.doc_id, k.quality, k.lang_pred, k.n_tokens"
         f" FROM kept k JOIN winners w ON k.doc_id = w.doc_id"
     )

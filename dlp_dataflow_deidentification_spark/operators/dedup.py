@@ -7,13 +7,21 @@ Spark expressions (higher-order array functions, xxhash64, bit ops) — no
 Python in any per-row loop.
 
 Scale notes (100 TB):
-  * exact_dedup     — one hash-aggregate shuffle on a 64/128-bit digest, the
-                      digest computed map-side; AQE handles skew.
+  * exact_dedup     — one hash-aggregate shuffle on a 128-bit md5 digest of
+                      the normalized text, computed map-side: shuffle volume
+                      is 16 bytes + id per row, NOT the corpus text.
   * minhash_lsh     — shingle→signature is a narrow projection after one
                       groupBy(doc); banding multiplies rows by n_bands (small
                       constant); candidate generation is a self-join on
-                      band_key (bounded buckets), verification is
-                      signature-overlap — no full-text re-read.
+                      band_key carrying ONLY (id, band_key) — signatures are
+                      re-attached to the (small) candidate set afterwards.
+  * minhash_dedup   — production shape: LSH candidates + exact-Jaccard
+                      verification on the candidate pairs only.
+  * ngram_jaccard   — inverted-index self-join with a document-frequency cap
+                      on shingles (a boilerplate shingle shared by 1e5 docs
+                      would otherwise create a 1e10-row bucket); exact
+                      Jaccard is computed on the FULL shingle sets of the
+                      surviving candidate pairs.
   * simhash         — one 64-bit fingerprint per doc, candidates via
                       pigeonhole chunk-match, verify with bit_count(xor).
 """
@@ -32,13 +40,17 @@ _PRIME = 2147483647  # 2^31 - 1, Mersenne prime for affine minhash perms
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per exact (normalized) text. Deterministic winner
-    (unlike dropDuplicates' arbitrary row) so results are replay-stable."""
+    (unlike dropDuplicates' arbitrary row) so results are replay-stable.
+
+    Groups by the 128-bit md5 of the normalized text — computed map-side, so
+    the shuffle key is fixed-width and shuffle volume is independent of
+    document length (the DuckDB oracle groups by the identical md5)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
-        df.withColumn("__norm", norm)
-        .groupBy("__norm")
+        df.withColumn("__digest", F.md5(norm))
+        .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
-        .drop("__norm")
+        .drop("__digest")
     )
 
 
@@ -60,6 +72,15 @@ def shingles(text_col, n: int = 5):
         )
     )
     return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 5
+) -> DataFrame:
+    """(id, sh: array<string>) distinct-shingle sets, empty-set rows dropped."""
+    return df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
 
 
 def _perm(i: int):
@@ -87,6 +108,18 @@ def minhash_signature(shingle_col, num_hashes: int = 64):
     return F.array(*sig)
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    ex = sh.select("id", F.explode("sh").alias("g")).select(
+        "id", F.pmod(F.xxhash64("g"), F.lit(_PRIME)).alias("h")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm(i)
+        aggs.append(F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_PRIME))).alias(f"m{i}"))
+    per = ex.groupBy("id").agg(*aggs)
+    return per.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -99,15 +132,27 @@ def minhash_signatures_df(
     Map-side partial aggregation makes this one key-shuffle of pre-combined
     per-partition minima; each shingle is xxhash'd exactly once (the pure
     expression form recomputes it num_hashes times — 100x slower measured)."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("g")
-    ).select("id", F.pmod(F.xxhash64("g"), F.lit(_PRIME)).alias("h"))
-    aggs = []
-    for i in range(num_hashes):
-        a, b = _perm(i)
-        aggs.append(F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_PRIME))).alias(f"m{i}"))
-    per = ex.groupBy("id").agg(*aggs)
-    return per.select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    return _signatures_from_shingles(shingle_df(df, text_col, id_col, shingle_n), num_hashes)
+
+
+def _lsh_candidates(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate id pairs (id < rid) sharing ≥1 LSH band.
+
+    The banded self-join carries ONLY (id, band_key) — ids-only shuffle; the
+    (64-long) signatures are NOT dragged through the join (round-1 review
+    finding: sig-on-both-sides was ~512B x bands x 2 of shuffle per doc)."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
+    right = banded.select(F.col("id").alias("rid"), F.col("band_key").alias("rband"))
+    return (
+        banded.join(right, (F.col("band_key") == F.col("rband")) & (F.col("id") < F.col("rid")))
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
 
 
 def minhash_lsh_pairs(
@@ -121,38 +166,74 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → signature (narrow) → explode band keys → self-join per bucket →
-    verify with signature agreement ≥ threshold (estimator of Jaccard).
+    shingle → signature (narrow) → explode band keys → ids-only self-join per
+    bucket → re-attach signatures to the candidate set → verify with
+    signature agreement ≥ threshold (estimator of Jaccard).
     Output: id_a < id_b, est_jaccard.
     """
-    rows = bands and num_hashes // bands
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n).filter(
-        F.size("sig") > 0
-    )
-
-    band_cols = [
-        F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias("band_key")
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("band_key"))
-
-    left = banded.alias("l")
-    right = banded.select(
-        F.col("id").alias("rid"), F.col("sig").alias("rsig"), F.col("band_key").alias("rband")
-    ).alias("r")
-    cands = (
-        left.join(right, (F.col("band_key") == F.col("rband")) & (F.col("id") < F.col("rid")))
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    cands = _lsh_candidates(sigs, num_hashes, bands)
+    a = sigs.select(F.col("id").alias("__ia"), F.col("sig").alias("sig"))
+    b = sigs.select(F.col("id").alias("__ib"), F.col("sig").alias("rsig"))
+    withsig = (
+        cands.join(a, F.col("id") == F.col("__ia"))
+        .join(b, F.col("rid") == F.col("__ib"))
         .select("id", "rid", "sig", "rsig")
-        .dropDuplicates(["id", "rid"])
     )
     agree = F.size(
-        F.filter(F.zip_with("sig", "rsig", lambda a, b: a == b), lambda x: x)
+        F.filter(F.zip_with("sig", "rsig", lambda x, y: x == y), lambda x: x)
     ) / F.lit(float(num_hashes))
     return (
-        cands.withColumn("est_jaccard", agree)
+        withsig.withColumn("est_jaccard", agree)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id").alias("id_a"), F.col("rid").alias("id_b"), "est_jaccard")
     )
+
+
+def _exact_jaccard_on_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact Jaccard (over full distinct-shingle sets) to candidate id
+    pairs. The candidate set is small (post-LSH / post-df-cap), so the two
+    id-joins move only candidate rows + their shingle arrays."""
+    a = sh.select(F.col("id").alias("__ia"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("__ib"), F.col("sh").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cands.join(a, F.col("id") == F.col("__ia"))
+        .join(b, F.col("rid") == F.col("__ib"))
+        .withColumn("common", common)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("rid").alias("id_b"),
+            (
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Production dedup shape: MinHash-LSH candidate generation + EXACT
+    Jaccard verification of the candidate pairs (full shingle sets).
+
+    Unlike ``minhash_lsh_pairs`` (signature-agreement estimator), the output
+    values are exact, so the DuckDB oracle (exact Jaccard over all pairs)
+    reproduces them bit-for-bit whenever LSH recall is 1.0 at the threshold —
+    the driver's hash-match doubles as a recall proof. bands=32/rows=2 gives
+    miss probability (1-j^2)^32 ≈ 1e-4 at j=0.5, ~0 above.
+    Output: id_a < id_b, jaccard (double)."""
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    sigs = _signatures_from_shingles(sh, num_hashes)
+    cands = _lsh_candidates(sigs, num_hashes, bands)
+    return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -161,33 +242,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (brute verification path; the
-    ground truth minhash approximates). Inverted-index self-join on shingle →
-    common-count per pair → |A∩B| / (|A|+|B|-|A∩B|).
-    Output: id_a < id_b, jaccard (double)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    """Exact n-gram Jaccard near-dup pairs via inverted-index candidates.
+
+    Shingles with document frequency > ``max_df`` are excluded from the
+    inverted index (a shingle shared by k docs makes a k^2-row bucket; hot
+    boilerplate shingles carry ~no Jaccard signal) — candidates are pairs
+    sharing ≥1 *indexable* shingle; Jaccard is then computed EXACTLY on the
+    full shingle sets of the candidates. Output: id_a < id_b, jaccard."""
+    sh = shingle_df(df, text_col, id_col, shingle_n)
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        keep = inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
+        inv = inv.join(keep, "g")
     rinv = inv.select(F.col("id").alias("rid"), F.col("g").alias("rg"))
-    pairs = (
+    cands = (
         inv.join(rinv, (F.col("g") == F.col("rg")) & (F.col("id") < F.col("rid")))
-        .groupBy("id", "rid")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("id", "__ida").withColumnRenamed("n_sh", "na"), F.col("id") == F.col("__ida"))
-        .join(sizes.withColumnRenamed("id", "__idb").withColumnRenamed("n_sh", "nb"), F.col("rid") == F.col("__idb"))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("rid").alias("id_b"),
-            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out
+    return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -195,11 +270,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text_col):
-    """64-bit SimHash of word tokens, fully JVM-side: per-bit weighted
-    majority computed with higher-order functions over token hashes."""
+def _token_hash(w, portable: bool):
+    """Per-token 64-bit hash. ``portable=True`` uses a 60-bit md5-derived
+    value computable identically in DuckDB
+    (CAST('0x' || substr(md5(w),1,15) AS UBIGINT)) so the simhash pair set
+    has a full SQL oracle; default xxhash64 is the faster scale path."""
+    if portable:
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(w)
+
+
+def simhash64(text_col, portable: bool = False):
+    """64-bit (60-bit when portable) SimHash of word tokens, fully JVM-side:
+    per-bit weighted majority computed with higher-order functions over token
+    hashes."""
+    n_bits = 60 if portable else 64
     tokens = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
-    hashes = F.transform(tokens, lambda w: F.xxhash64(w))
+    hashes = F.transform(tokens, lambda w: _token_hash(w, portable))
 
     # the python shiftright/shiftleft wrappers require literal bit counts;
     # call the SQL functions directly so the bit index can be the HOF variable
@@ -211,7 +298,7 @@ def simhash64(text_col):
 
     # for each bit, sum(+1/-1) over tokens; set bit if sum > 0
     bit_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda b: F.when(
             F.aggregate(
                 hashes,
@@ -231,12 +318,20 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole: split
-    the 64-bit hash into 4 16-bit chunks — any pair within distance 3 agrees
-    on ≥1 chunk — candidate-join per chunk, verify with bit_count(xor).
+    the hash into 4 chunks — any pair within distance 3 agrees on ≥1 chunk —
+    candidate-join per chunk, verify with bit_count(xor).
     Output: id_a < id_b, hamming."""
-    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    n_bits = 60 if portable else 64
+    width = n_bits // 4
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # docs with zero tokens are excluded (their simhash would be the constant
+    # 0, pairing all empty docs; the SQL oracle drops them the same way)
+    base = df.filter(F.size(tokens) > 0).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), portable).alias("sh")
+    )
     chunks = base.select(
         "id",
         "sh",
@@ -245,7 +340,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("sh", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.shiftright("sh", width * c)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("v"),
                     )
                     for c in range(4)
                 ]
