@@ -8,13 +8,14 @@ where offsets or per-key state genuinely require Python, and Structured
 Streaming (watermarks, session windows, stateful joins, exactly-once sink)
 for the streaming pipelines.
 """
-from .plans.config import DeidTemplate
+from .plans.config import DeidTemplate, InspectConfig
 from .operators.deidentify import deidentify, reidentify
 from .operators.inspect import inspect, inspect_offsets, inspection_report
 from .functions import infotypes, transforms
 
 __all__ = [
     "DeidTemplate",
+    "InspectConfig",
     "deidentify",
     "reidentify",
     "inspect",

@@ -55,6 +55,29 @@ def aes_siv_encrypt(col: Column, key: bytes) -> Column:
     return _enc(col)
 
 
+def siv_tokenize(col: Column, key: bytes, surrogate_info_type: "str | None" = None) -> Column:
+    """AES-SIV deterministic tokenization with the optional DLP
+    ``SURROGATE(len):token`` envelope (deid-template.json:212-231) — the
+    template compiler's default cryptoDeterministicConfig route."""
+    tok = aes_siv_encrypt(col.cast("string"), key)
+    if surrogate_info_type:
+        tok = F.concat(
+            F.lit(surrogate_info_type + "("),
+            F.length(tok).cast("string"),
+            F.lit("):"),
+            tok,
+        )
+    return tok
+
+
+def siv_reidentify(col: Column, key: bytes, surrogate_info_type: "str | None" = None) -> Column:
+    """Inverse of siv_tokenize (envelope strip + AES-SIV decrypt)."""
+    s = col.cast("string")
+    if surrogate_info_type:
+        s = F.regexp_replace(s, r"^[A-Z0-9_]+\([0-9]+\):", "")
+    return aes_siv_decrypt(s, key)
+
+
 def aes_siv_decrypt(col: Column, key: bytes) -> Column:
     """Inverse of aes_siv_encrypt (REID, DLPReidentifyText.java:323-381)."""
     _require()

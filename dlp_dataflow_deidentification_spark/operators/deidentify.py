@@ -36,16 +36,24 @@ def reidentify(
     key: str,
     surrogate_info_type: str | None = None,
     strict: bool = True,
+    mode: str = "ecb",
 ) -> DataFrame:
     """Reverse deterministic tokenization on selected columns (reference REID:
     re-identify-config.config:8-27; output table suffix `_re_id`,
     common/DLPTransform.java:196-197). ``strict=False`` nulls corrupt tokens
     instead of failing (pair with plans.pipeline.split_malformed for the
-    error-table side output)."""
+    error-table side output). ``mode="siv"`` reverses the template
+    compiler's default AES-SIV tokens (plans.config deterministic_mode)."""
     out = df
     for name in columns:
-        out = out.withColumn(
-            name,
-            transforms.crypto_reidentify(out[name], key, surrogate_info_type, strict),
-        )
+        if mode == "siv":
+            from ..functions import crypto
+            from ..plans.config import derive_siv_key
+
+            col = crypto.siv_reidentify(
+                out[name], derive_siv_key(key), surrogate_info_type
+            )
+        else:
+            col = transforms.crypto_reidentify(out[name], key, surrogate_info_type, strict)
+        out = out.withColumn(name, col)
     return out

@@ -9,11 +9,17 @@ local, declarative plan.
 
 Supported primitiveTransformations: cryptoHashConfig, characterMaskConfig,
 bucketingConfig, fixedSizeBucketingConfig, cryptoDeterministicConfig,
-replaceConfig, redactConfig, replaceWithInfoTypeConfig (via
-infoTypeTransformations), dateShiftConfig.
+replaceConfig, redactConfig, timePartConfig, dateShiftConfig,
+replaceWithInfoTypeConfig (via infoTypeTransformations).
+
+cryptoDeterministicConfig routes to true AES-SIV (RFC 5297, the reference's
+actual cipher — deid-template.json:212-231) by default; the JVM-native
+AES-ECB fast path requires explicit opt-in (``deterministic_mode="ecb"``)
+because ECB leaks shared 16-byte plaintext prefixes across cells.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 from dataclasses import dataclass, field
 from typing import Callable
@@ -21,7 +27,7 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions import infotypes, transforms
+from ..functions import crypto, infotypes, transforms
 
 
 @dataclass
@@ -52,8 +58,9 @@ class DeidTemplate:
     def from_dict(
         cls,
         doc: dict,
-        crypto_key: str = "0123456789abcdef",
+        crypto_key: "str | None" = None,
         custom_infotypes: dict[str, infotypes.InfoType] | None = None,
+        deterministic_mode: str = "siv",
     ) -> "DeidTemplate":
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
         cfg = doc.get("deidentifyConfig", doc)
@@ -103,16 +110,97 @@ class DeidTemplate:
 
             prim = ft["primitiveTransformation"]
             out.transformations.append(
-                FieldTransformation(fields_, _primitive(prim, crypto_key), list(prim)[0])
+                FieldTransformation(
+                    fields_,
+                    _primitive(prim, crypto_key, deterministic_mode),
+                    list(prim)[0],
+                )
             )
         return out
 
 
-def _primitive(prim: dict, crypto_key: str) -> Callable[[Column], Column]:
+@dataclass
+class InspectConfig:
+    """Compiled DLP InspectConfig (inspect-template.json:8-32; the reference
+    forwards minLikelihood/includeQuote/limits to the service at
+    beam/DLPInspectText.java:269-270,306-309). Feed the fields to
+    ``operators.inspect.inspect`` / ``inspect_offsets``."""
+
+    detectors: list[infotypes.InfoType] = field(default_factory=list)
+    min_likelihood: "str | None" = None
+    include_quote: bool = True
+    max_findings_per_item: "int | None" = None
+
+    @classmethod
+    def from_file(cls, path: str) -> "InspectConfig":
+        with open(path) as f:
+            text = f.read()
+        body = "\n".join(l for l in text.splitlines() if not l.strip().startswith("//"))
+        return cls.from_dict(json.loads(body))
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "InspectConfig":
+        cfg = doc.get("inspectConfig", doc)
+        dets = [infotypes.resolve(i["name"]) for i in cfg.get("infoTypes", [])]
+        for ci in cfg.get("customInfoTypes", []):
+            name = ci["infoType"]["name"]
+            lk = ci.get("likelihood", "LIKELY")
+            if "regex" in ci:
+                dets.append(infotypes.custom_regex(name, ci["regex"]["pattern"], lk))
+            elif "dictionary" in ci:
+                words = ci["dictionary"]["wordList"]["words"]
+                dets.append(infotypes.dictionary(name, words, lk))
+            else:
+                raise ValueError(f"unsupported customInfoType: {list(ci)}")
+        limits = cfg.get("limits") or {}
+        return cls(
+            detectors=dets,
+            min_likelihood=cfg.get("minLikelihood"),
+            include_quote=cfg.get("includeQuote", True),
+            max_findings_per_item=limits.get("maxFindingsPerItem"),
+        )
+
+
+def derive_siv_key(crypto_key: str) -> bytes:
+    """32-byte AES-SIV key deterministically derived from the template's
+    crypto key string (the reference unwraps a KMS-wrapped key instead —
+    out of scope in-process)."""
+    return hashlib.sha256(crypto_key.encode()).digest()
+
+
+def _require_key(crypto_key: "str | None", which: str) -> str:
+    """No hardcoded key fallback: a template that tokenizes/hashes MUST be
+    given an explicit key, or every deployment would share one public key
+    and tokens would be trivially re-identifiable."""
+    if not crypto_key:
+        raise ValueError(
+            f"template uses {which} — pass an explicit crypto_key "
+            "(there is deliberately no default key)"
+        )
+    return crypto_key
+
+
+def _primitive(
+    prim: dict, crypto_key: "str | None", deterministic_mode: str = "siv"
+) -> Callable[[Column], Column]:
     if "cryptoHashConfig" in prim:
+        crypto_key = _require_key(crypto_key, "cryptoHashConfig")
         return lambda c: transforms.crypto_hash(c, crypto_key)
     if "cryptoDeterministicConfig" in prim:
+        crypto_key = _require_key(crypto_key, "cryptoDeterministicConfig")
         sur = prim["cryptoDeterministicConfig"].get("surrogateInfoType", {}).get("name")
+        if deterministic_mode == "siv":
+            if not crypto.HAVE_AESSIV:
+                raise NotImplementedError(
+                    "cryptoDeterministicConfig defaults to AES-SIV (the "
+                    "reference's cipher) but the 'cryptography' package is "
+                    "missing; pass deterministic_mode='ecb' to opt in to the "
+                    "native AES-ECB path (leaks shared 16-byte prefixes)"
+                )
+            key = derive_siv_key(crypto_key)
+            return lambda c: crypto.siv_tokenize(c, key, sur)
+        if deterministic_mode != "ecb":
+            raise ValueError(f"deterministic_mode must be 'siv' or 'ecb', got {deterministic_mode!r}")
         return lambda c: transforms.crypto_deterministic(c, crypto_key, sur)
     if "characterMaskConfig" in prim:
         cm = prim["characterMaskConfig"]
@@ -140,6 +228,16 @@ def _primitive(prim: dict, crypto_key: str) -> Callable[[Column], Column]:
     if "timePartConfig" in prim:
         part = prim["timePartConfig"].get("partToExtract", "YEAR")
         return lambda c: transforms.time_part(c, part)
+    if "dateShiftConfig" in prim:
+        ds = prim["dateShiftConfig"]
+        crypto_key = _require_key(crypto_key, "dateShiftConfig")
+        upper = int(ds.get("upperBoundDays", 100))
+        ctx = (ds.get("context") or {}).get("name")
+        # deterministic per-context shift; without a context field the value
+        # itself keys the shift (DLP shifts randomly per value in that case)
+        return lambda c: transforms.date_shift(
+            c, F.col(ctx) if ctx else c, crypto_key, max_days=upper
+        )
     if "replaceConfig" in prim:
         nv = prim["replaceConfig"]["newValue"]["stringValue"]
         return lambda c: F.lit(nv)

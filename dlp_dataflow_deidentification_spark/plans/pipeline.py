@@ -26,19 +26,38 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.deidentify import deidentify, reidentify
 from ..operators.inspect import inspect
 from ..operators.skew import salted_repartition
 from ..sources import files
-from .config import DeidTemplate
+from .config import DeidTemplate, InspectConfig
+
+
+def _maybe_inspect_config(template: "str | dict") -> "InspectConfig | None":
+    """Return the compiled InspectConfig when the template is a DLP inspect
+    template (has inspectConfig — inspect-template.json:8-32); None for
+    deid templates."""
+    if isinstance(template, str):
+        with open(template) as f:
+            body = "\n".join(
+                l for l in f.read().splitlines() if not l.strip().startswith("//")
+            )
+        import json
+
+        template = json.loads(body)
+    if "inspectConfig" in template:
+        return InspectConfig.from_dict(template)
+    return None
 
 ERROR_SCHEMA_COLS = ("file_name", "transaction_timestamp", "error_message", "stack_trace")
 
 
-def load_template(template: "str | dict", crypto_key: str) -> DeidTemplate:
+def load_template(template: "str | dict", crypto_key: "str | None") -> DeidTemplate:
+    # no default key: templates using crypto transforms raise from the
+    # compiler unless the caller supplies one (plans/config._require_key)
     if isinstance(template, str):
         return DeidTemplate.from_file(template, crypto_key=crypto_key)
     return DeidTemplate.from_dict(template, crypto_key=crypto_key)
@@ -72,9 +91,12 @@ def split_malformed(df: DataFrame, required: list[str]) -> tuple[DataFrame, Data
     return good, errors
 
 
-def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: str = "0123456789abcdef") -> dict:
+def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None" = None) -> dict:
     """Execute a batch pipeline spec; returns row-count metrics (the
-    reference's numberOfRowsRead / numberOfRowsDeidentified counters)."""
+    reference's numberOfRowsRead / numberOfRowsDeidentified counters).
+
+    ``crypto_key`` has NO default value on purpose: specs whose template
+    tokenizes/hashes (or mode="reid") fail loudly without an explicit key."""
     src = spec["source"]
     df = files.read_files(
         spark,
@@ -89,22 +111,37 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: str = "0123
     if required:
         df, errors = split_malformed(df, required)
         if spec.get("error_path"):
+            # count THIS run's errors via observe() during the write —
+            # re-reading the append-mode directory would report cumulative
+            # historical rows on reruns
+            err_obs = Observation()
+            errors = errors.observe(err_obs, F.count(F.lit(1)).alias("n"))
             errors.write.mode("append").parquet(spec["error_path"])
-            metrics["rows_error"] = spark.read.parquet(spec["error_path"]).count()
+            metrics["rows_error"] = int(err_obs.get["n"])
 
     mode = spec.get("mode", "deid")
     if mode == "deid":
         out = deidentify(df, load_template(spec["template"], crypto_key))
     elif mode == "reid":
-        out = reidentify(df, spec["reid_columns"], crypto_key)
+        if not crypto_key:
+            raise ValueError("mode='reid' requires an explicit crypto_key")
+        out = reidentify(df, spec["reid_columns"], crypto_key, mode=spec.get("crypto_mode", "ecb"))
     elif mode == "inspect":
-        template = load_template(spec["template"], crypto_key)
-        out = inspect(
-            df,
-            template.detectors,
-            spec["text_columns"],
-            id_columns=[files.SOURCE_KEY_COL] if files.SOURCE_KEY_COL in df.columns else [],
-        )
+        ids = [files.SOURCE_KEY_COL] if files.SOURCE_KEY_COL in df.columns else []
+        icfg = _maybe_inspect_config(spec["template"])
+        if icfg is not None:
+            out = inspect(
+                df,
+                icfg.detectors,
+                spec["text_columns"],
+                id_columns=ids,
+                min_likelihood=icfg.min_likelihood,
+                include_quote=icfg.include_quote,
+                max_findings_per_item=icfg.max_findings_per_item,
+            )
+        else:  # a deid template: inspect with its referenced detectors
+            template = load_template(spec["template"], crypto_key)
+            out = inspect(df, template.detectors, spec["text_columns"], id_columns=ids)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -113,13 +150,16 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: str = "0123
 
     sink = spec["sink"]
     fmt = sink.get("format", "parquet")
+    # numberOfRowsDeidentified analogue: observed on the output DataFrame
+    # during the write (Beam Counter semantics — this run only, not the
+    # cumulative content of an append-mode sink directory)
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     if fmt == "text":
         files.write_text_lines(out, sink["path"], delimiter=sink.get("delimiter", ","))
     elif sink.get("partition_by_source") and files.SOURCE_KEY_COL in out.columns:
         files.write_partitioned_by_key(out, sink["path"], fmt)
     else:
         out.write.mode("append").format(fmt).save(sink["path"])
-
-    written = spark.read.format(fmt if fmt != "text" else "text").load(sink["path"])
-    metrics["rows_written"] = written.count()
+    metrics["rows_written"] = int(obs.get["n"])
     return metrics

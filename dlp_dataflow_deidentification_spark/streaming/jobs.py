@@ -76,7 +76,9 @@ class StreamingDeidJob:
     mode: str = "deid"
     text_columns: tuple = ("text",)
     reid_columns: tuple = ("text",)
-    crypto_key: str = "0123456789abcdef"
+    # no default key on purpose: reid mode raises without an explicit key
+    # (a shared hardcoded key would make every deployment's tokens public)
+    crypto_key: "str | None" = None
     partition_output_by: str | None = None  # dynamic destinations (per-key)
 
     def sink(self) -> IdempotentBatchSink:
@@ -100,6 +102,8 @@ class StreamingDeidJob:
         elif self.mode == "reid":
             from ..operators.deidentify import reidentify
 
+            if not self.crypto_key:
+                raise ValueError("mode='reid' requires an explicit crypto_key")
             out = reidentify(df, list(self.reid_columns), self.crypto_key)
         else:
             raise ValueError(f"unknown mode {self.mode!r}")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,17 +86,39 @@ def batched_requests(
             state.remove()
         else:
             for pdf in pdfs:
-                sizes = pdf[payload_col].astype(str).str.len().fillna(0).astype(int)
-                if ts_col in pdf.columns:
+                sizes = (
+                    pdf[payload_col].astype(str).str.len().fillna(0).astype("int64").to_numpy()
+                )
+                if ts_col in pdf.columns and len(pdf):
                     ms = (pdf[ts_col].astype("int64") // 1_000_000).max()
                     max_ms = max(max_ms, int(ms))
-                for n in sizes:
-                    if buf_rows and buf_bytes + int(n) > max_batch_bytes:
+                if not len(sizes):
+                    continue
+                # vectorized greedy packing: cumsum + one searchsorted per
+                # emitted batch (O(batches·log n), not a per-row Python loop).
+                # Semantics identical to the scalar greedy rule: flush when
+                # adding the next row would exceed the budget and the buffer
+                # is non-empty; a single oversized row forms its own batch.
+                cs = np.cumsum(sizes)
+                start, n_in = 0, len(sizes)
+                while start < n_in:
+                    base = int(cs[start - 1]) if start else 0
+                    budget = max_batch_bytes - buf_bytes if buf_rows else max_batch_bytes
+                    j = int(np.searchsorted(cs, base + budget, side="right")) - 1
+                    if j < start:
+                        if buf_rows:  # next row overflows the carry → flush it
+                            out.append((key[0], next_seq, buf_rows, buf_bytes))
+                            next_seq += 1
+                            buf_bytes, buf_rows = 0, 0
+                            continue
+                        j = start  # oversized single row: its own buffer
+                    buf_bytes += int(cs[j]) - base
+                    buf_rows += j - start + 1
+                    start = j + 1
+                    if start < n_in:  # row j+1 overflowed → emit now
                         out.append((key[0], next_seq, buf_rows, buf_bytes))
                         next_seq += 1
                         buf_bytes, buf_rows = 0, 0
-                    buf_bytes += int(n)
-                    buf_rows += 1
             state.update((buf_bytes, buf_rows, next_seq, max_ms))
             # Beam: event-time timer at window max; here: watermark-driven
             # timeout at last-event-time + flush gap

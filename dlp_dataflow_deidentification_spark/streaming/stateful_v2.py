@@ -60,6 +60,12 @@ class ConversationStatsProcessor(StatefulProcessor):
             first_ms = lo if first_ms == 0 else min(first_ms, lo)
             last_ms = max(last_ms, int(ms.max()))
         self.state.update((n, npii, first_ms, last_ms))
+        # delete any timer registered for an earlier last_ms: a stale timer
+        # would fire at old_last+gap and prematurely split a still-active
+        # conversation (Beam's single-timer-per-key semantics rearm on set;
+        # transformWithState timers accumulate unless deleted)
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
         self.handle.registerTimer(last_ms + self.gap_ms)
         return iter(())
 
@@ -69,6 +75,10 @@ class ConversationStatsProcessor(StatefulProcessor):
         if not self.state.exists():
             return iter(())
         n, npii, first_ms, last_ms = tuple(self.state.get())
+        # belt-and-braces stale check: only the timer armed for the CURRENT
+        # last_ms may close the conversation
+        if expiredTimerInfo.getExpiryTimeInMs() < last_ms + self.gap_ms:
+            return iter(())
         self.state.clear()
         yield pd.DataFrame(
             [(key[0], n, npii, first_ms, last_ms)],

@@ -100,3 +100,13 @@ def test_dedup_plans_have_no_python(spark, docs):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan[:2000]
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, docs):
+    """The hash-aggregate's shuffle key must be the fixed-width md5 digest
+    (computed map-side), never the normalized full text — at 100 TB a text
+    grouping key makes shuffle volume ~= corpus size."""
+    plan = dedup.exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan
+    assert "__digest" in plan
+    assert "__norm" not in plan  # full-text key eliminated (round-1 finding)

@@ -189,3 +189,88 @@ def test_deid_plan_is_single_codegen_projection(spark, sf_dir, template):
     )
     plan2 = deid_only._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+def test_inspect_null_column_does_not_drop_row_findings(spark, template):
+    """Regression: with multiple text_columns, a NULL cell must contribute an
+    empty findings array — not NULL the whole row's flatten() (which silently
+    dropped matches from the non-null columns)."""
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.com", None), (2, None, "iban NO36 7396 1123 641 x")],
+        "id int, c1 string, c2 string",
+    )
+    out = dds.inspect(df, ["EMAIL_ADDRESS", "IBAN_CODE"], ["c1", "c2"], id_columns=["id"])
+    rows = {(r.id, r.info_type_name) for r in out.collect()}
+    assert (1, "EMAIL_ADDRESS") in rows
+    assert (2, "IBAN_CODE") in rows
+
+
+def test_date_shift_template_branch(spark):
+    """dateShiftConfig compiles (deterministic per-context shift within
+    ±upperBoundDays); same context key ⇒ same shift across rows."""
+    t = dds.DeidTemplate.from_dict(
+        {
+            "deidentifyConfig": {
+                "recordTransformations": {
+                    "fieldTransformations": [
+                        {
+                            "fields": [{"name": "visit_ts"}],
+                            "primitiveTransformation": {
+                                "dateShiftConfig": {
+                                    "upperBoundDays": 30,
+                                    "lowerBoundDays": -30,
+                                    "context": {"name": "patient_id"},
+                                }
+                            },
+                        }
+                    ]
+                }
+            }
+        },
+        crypto_key=KEY,
+    )
+    df = spark.createDataFrame(
+        [
+            ("p1", "2024-01-01 00:00:00"),
+            ("p1", "2024-06-01 00:00:00"),
+            ("p2", "2024-01-01 00:00:00"),
+        ],
+        "patient_id string, visit_ts string",
+    )
+    import collections
+    import datetime as dt
+
+    srcs = collections.defaultdict(list)
+    for p, s in [
+        ("p1", "2024-01-01 00:00:00"),
+        ("p1", "2024-06-01 00:00:00"),
+        ("p2", "2024-01-01 00:00:00"),
+    ]:
+        srcs[p].append(dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S"))
+    gots = collections.defaultdict(list)
+    for r in dds.deidentify(df, t).collect():
+        gots[r.patient_id].append(r.visit_ts)
+    for p in srcs:  # same context key ⇒ one constant shift within ±30 days
+        deltas = {(g - s).days for g, s in zip(sorted(gots[p]), sorted(srcs[p]))}
+        assert len(deltas) == 1, f"shift not constant per context: {deltas}"
+        assert -30 <= deltas.pop() <= 30
+
+
+def test_crypto_template_requires_explicit_key():
+    with pytest.raises(ValueError, match="crypto_key"):
+        dds.DeidTemplate.from_dict(
+            {
+                "deidentifyConfig": {
+                    "recordTransformations": {
+                        "fieldTransformations": [
+                            {
+                                "fields": [{"name": "x"}],
+                                "primitiveTransformation": {
+                                    "cryptoHashConfig": {"cryptoKey": {}}
+                                },
+                            }
+                        ]
+                    }
+                }
+            }
+        )

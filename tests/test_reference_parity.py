@@ -87,11 +87,79 @@ def test_reference_template_deid_semantics(spark, sample, template):
 
 
 def test_reference_template_reid_roundtrip(spark, sample, template):
+    """The template compiler routes cryptoDeterministicConfig to AES-SIV by
+    default (the reference's actual cipher, deid-template.json:212-231), so
+    the REID side must decrypt with mode='siv'."""
     enc = dds.deidentify(sample, template)
+    back = dds.reidentify(enc, ["Card Holder's Name", "Card Number"], KEY, mode="siv")
+    got = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in back.collect()}
+    want = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in sample.collect()}
+    assert got == want
+
+
+def test_reference_template_ecb_optin_roundtrip(spark, sample):
+    """Explicit ECB opt-in (deterministic_mode='ecb') keeps the native
+    fast-path working end-to-end."""
+    t = dds.DeidTemplate.from_file(TEMPLATE, crypto_key=KEY, deterministic_mode="ecb")
+    enc = dds.deidentify(sample, t)
     back = dds.reidentify(enc, ["Card Holder's Name", "Card Number"], KEY)
     got = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in back.collect()}
     want = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in sample.collect()}
     assert got == want
+
+
+def test_reference_inspect_template_config_fidelity(spark, sample):
+    """Drive minLikelihood / includeQuote / maxFindingsPerItem through the
+    reference's OWN inspect template shape (inspect-template.json:8-32;
+    forwarded by beam/DLPInspectText.java:269-270,306-309)."""
+    icfg = dds.InspectConfig.from_file(f"{REF}/src/main/resources/inspect-template.json")
+    assert icfg.min_likelihood == "LIKELY"
+    assert [d.name for d in icfg.detectors] == [
+        "IBAN_CODE", "EMAIL_ADDRESS", "PHONE_NUMBER", "ONLINE_USER_ID",
+    ]
+    assert icfg.detectors[-1].pattern == "\\b:\\d{16}"
+
+    base = dds.inspect(
+        sample, icfg.detectors, ["Additional Details"], id_columns=["ID"],
+        min_likelihood=icfg.min_likelihood,
+    )
+    n_base = base.count()
+    assert n_base > 30
+
+    # a VERY_LIKELY floor prunes the LIKELY-rated detectors at plan time
+    high = dds.inspect(
+        sample, icfg.detectors, ["Additional Details"], id_columns=["ID"],
+        min_likelihood="VERY_LIKELY",
+    )
+    kept = {d.name for d in icfg.detectors if d.likelihood == "VERY_LIKELY"}
+    assert set(
+        r.info_type_name for r in high.select("info_type_name").distinct().collect()
+    ) <= kept
+
+    # includeQuote=False ships findings without the matched text
+    noq = dds.inspect(
+        sample, icfg.detectors, ["Additional Details"], id_columns=["ID"],
+        include_quote=False,
+    )
+    assert noq.filter(F.col("quote").isNotNull()).count() == 0
+    assert noq.count() == base.count() or icfg.min_likelihood  # same rows, null quotes
+
+    # maxFindingsPerItem caps findings per input row
+    capped = dds.inspect(
+        sample, icfg.detectors, ["Additional Details"], id_columns=["ID"],
+        max_findings_per_item=2,
+    )
+    per_row = capped.groupBy("ID").count().agg(F.max("count")).first()[0]
+    assert per_row <= 2
+
+    # offsets path honors the same config
+    off = dds.inspect_offsets(
+        sample, icfg.detectors, ["Additional Details"], id_columns=["ID"],
+        max_findings_per_item=2, include_quote=False,
+    )
+    assert off.groupBy("ID").count().agg(F.max("count")).first()[0] <= 2
+    assert off.filter(F.col("quote").isNotNull()).count() == 0
+    assert off.filter(F.col("location_end") <= F.col("location_start")).count() == 0
 
 
 def test_reference_inspect_template_threshold(spark, sample):

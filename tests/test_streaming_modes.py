@@ -80,6 +80,7 @@ def test_streaming_reid_inverts_streaming_deid(spark, tmp_path, input_dir, templ
         str(tmp_path / "ckpt"),
         mode="reid",
         reid_columns=("text",),
+        crypto_key="0123456789abcdef",  # reid now refuses to run keyless
     )
     job.run_to_completion()
     got = {
