@@ -234,21 +234,22 @@ def _ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-
-    def _pert(c):
-        return lambda a, b: a + F.lit(c) * b
-
-    out = emb
-    for k in range(1, 10):
-        out = out.unionByName(
-            qs.select(
-                (F.col("vec_id") + 1000000 * k).alias("vec_id"),
-                F.zip_with("embedding", F.reverse("embedding"), _pert(0.02 * k)).alias(
-                    "embedding"
-                ),
-            )
-        )
-    return out
+    # one explode branch instead of 9 unions; c = 0.02*k as a double column
+    # is bit-identical to python 0.02*k (same IEEE multiply), which is what
+    # the oracle injects via repr()
+    copies = qs.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(k) for k in range(1, 10)])).alias("k"),
+    ).select(
+        (F.col("vec_id") + F.lit(1000000) * F.col("k")).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda a, b: a + F.lit(0.02) * F.col("k") * b,
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

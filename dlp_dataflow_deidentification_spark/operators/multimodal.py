@@ -117,17 +117,30 @@ def sample_video_frames(
                     f"decoder {decoder!r}: ffmpeg is not available here; "
                     "only the deterministic 'fake' frame sampler runs"
                 )
-            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_payload": []}
-            for _, row in pdf.iterrows():
-                dur = int(row["duration_ms"] or 0)
-                payload = row["payload"] or b""
-                for i, ms in enumerate(range(0, dur, every_ms)):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ms"].append(ms)
-                    start = (i * 16) % max(len(payload), 1)
-                    out["frame_payload"].append(bytes(payload[start : start + 16]))
-            yield pd.DataFrame(out)
+            # vectorized 1→N fan-out (repeat + offset arithmetic); only the
+            # per-frame payload slice — the stand-in for the real decode
+            # kernel, which is a per-frame C call anyway — touches Python
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            n = np.maximum(-(-dur // every_ms), 0)
+            total = int(n.sum())
+            if total == 0:
+                continue
+            row_pos = np.repeat(np.arange(len(pdf)), n)
+            fidx = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+            payloads = pdf["payload"].to_numpy()
+            fpay = []
+            for rp, i in zip(row_pos, fidx):
+                p = payloads[rp] or b""
+                start = (int(i) * 16) % max(len(p), 1)
+                fpay.append(bytes(p[start : start + 16]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_pos],
+                    "frame_idx": fidx.astype("int32"),
+                    "frame_ms": (fidx * every_ms).astype("int32"),
+                    "frame_payload": fpay,
+                }
+            )
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
 

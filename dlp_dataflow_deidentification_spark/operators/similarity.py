@@ -109,10 +109,13 @@ def lsh_topk(
         hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
         for t in range(n_tables)
     ]
-    # bucket ids offset per table so one join column serves all tables
+    # bucket ids offset per table so one join column serves all tables.
+    # IDS-ONLY through the bucket join and the dedup: a corpus vector hit in
+    # several tables/probes must not drag its double-array through the
+    # shuffle once per hit — candidates dedup on (query_id, vec_id) first,
+    # vectors are re-attached exactly once per surviving candidate.
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
         F.explode(
             F.array(*[b + F.lit(t << 32) for t, b in enumerate(table_buckets)])
         ).alias("bucket"),
@@ -123,13 +126,20 @@ def lsh_topk(
         probes.extend(b.bitwiseXOR(F.lit(1 << p)) + F.lit(t << 32) for p in range(n_planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
-    scored = (
+    cands = (
         c.join(F.broadcast(q), "bucket")
-        .select("query_id", "vec_id", "qv", "cv")
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
+    )
+    cvecs = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cands.join(cvecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
         .select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))

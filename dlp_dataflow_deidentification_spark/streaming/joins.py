@@ -13,17 +13,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def agent_tool_stream_join(
-    transcripts: DataFrame,
-    max_lag_seconds: int = 120,
-    watermark: str = "10 minutes",
-) -> DataFrame:
-    """Split one transcript stream into agent/tool substreams and join them.
-
-    Works on a streaming OR batch transcript DataFrame; in streaming mode both
-    sides carry watermarks so the join state is evicted once
-    ``agent_ts + max_lag`` falls behind the tool-side watermark.
-    """
+def _agent_tool_sides(
+    transcripts: DataFrame, watermark: str
+) -> tuple[DataFrame, DataFrame]:
     base = transcripts.withColumn("ts", F.col("ts").cast("timestamp"))
     agents = (
         base.filter(F.col("role") == "agent")
@@ -44,15 +36,60 @@ def agent_tool_stream_join(
         )
         .withWatermark("tool_ts", watermark)
     )
-    cond = (
+    return agents, tools
+
+
+def _join_cond(max_lag_seconds: int):
+    return (
         (F.col("conv_id") == F.col("tool_conv_id"))
         & (F.col("tool_ts") >= F.col("agent_ts"))
         & (F.col("tool_ts") <= F.col("agent_ts") + F.expr(f"INTERVAL {max_lag_seconds} SECONDS"))
     )
-    return agents.join(tools, cond, "inner").select(
+
+
+def agent_tool_stream_join(
+    transcripts: DataFrame,
+    max_lag_seconds: int = 120,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Split one transcript stream into agent/tool substreams and join them.
+
+    Works on a streaming OR batch transcript DataFrame; in streaming mode both
+    sides carry watermarks so the join state is evicted once
+    ``agent_ts + max_lag`` falls behind the tool-side watermark.
+    """
+    agents, tools = _agent_tool_sides(transcripts, watermark)
+    return agents.join(tools, _join_cond(max_lag_seconds), "inner").select(
         "conv_id",
         "agent_turn_idx",
         "tool_turn_idx",
         "tool_name",
         (F.col("tool_ts").cast("long") - F.col("agent_ts").cast("long")).alias("lag_seconds"),
+    )
+
+
+def agent_tool_hourly_stats(
+    transcripts: DataFrame,
+    max_lag_seconds: int = 120,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (SURVEY §7 "hard
+    parts"): stream-stream join → tumbling-window aggregation. Spark ≥3.5
+    supports stacking stateful operators when the downstream aggregation
+    windows the join's own event-time column (``tool_ts`` here); watermark
+    eviction cascades join-state → window-state in the same query run.
+
+    Output: window_start, tool_name, n_calls (correlated agent→tool
+    invocations per tool per window). The same plan runs on a batch
+    DataFrame for the stream≡batch equality test.
+    """
+    agents, tools = _agent_tool_sides(transcripts, watermark)
+    joined = agents.join(tools, _join_cond(max_lag_seconds), "inner").select(
+        "conv_id", "tool_name", "tool_ts"
+    )
+    return (
+        joined.groupBy(F.window("tool_ts", window).alias("w"), "tool_name")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+        .select(F.col("w.start").alias("window_start"), "tool_name", "n_calls")
     )

@@ -14,37 +14,42 @@ import time
 
 
 def _jvm_cpu_seconds() -> float:
-    """Total CPU seconds consumed by child JVMs (read from /proc): in local
-    mode the driver JVM IS the executor, so this is the engine's CPU time.
-    Evidence for the scaling report: utilization = Δcpu / (wall · cores)."""
+    """Total CPU seconds consumed by the whole Spark process tree (read from
+    /proc): in local[] mode the driver JVM IS the executor; in
+    local-cluster[] mode the executors are separate JVMs forked by the
+    driver, so we sum the driver + every descendant (executor JVMs, python
+    workers). Evidence for the scaling report:
+    utilization = Δcpu / (wall · cores)."""
     hz = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
-
-    def stat(pid):
-        with open(f"/proc/{pid}/stat") as f:
-            parts = f.read().rsplit(") ", 1)[1].split()
-        # fields after comm: state ppid ... utime=idx11 stime=idx12 (0-based)
-        return int(parts[1]), (int(parts[11]) + int(parts[12])) / hz
-
-    # under spark-submit the JVM is our parent; under plain python it is a child
-    try:
-        with open(f"/proc/{me}/stat") as f:
-            ppid = int(f.read().rsplit(") ", 1)[1].split()[1])
-        with open(f"/proc/{ppid}/comm") as f:
-            if "java" in f.read():
-                return stat(ppid)[1]
-    except OSError:
-        pass
-    total = 0.0
+    procs: dict[int, tuple[int, float, str]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
-            p, cpu = stat(pid)
-            if p == me:
-                total += cpu
+            with open(f"/proc/{pid}/stat") as f:
+                head, rest = f.read().rsplit(") ", 1)
+            comm = head.split("(", 1)[1]
+            parts = rest.split()
+            # fields after comm: state ppid ... utime=idx11 stime=idx12
+            procs[int(pid)] = (
+                int(parts[1]),
+                (int(parts[11]) + int(parts[12])) / hz,
+                comm,
+            )
         except (OSError, IndexError, ValueError):
             continue
+    # root of the tree: the driver JVM (our parent under spark-submit) or us
+    ppid = procs.get(me, (0, 0.0, ""))[0]
+    root = ppid if "java" in procs.get(ppid, (0, 0.0, ""))[2] else me
+    children: dict[int, list[int]] = {}
+    for pid, (par, _, _) in procs.items():
+        children.setdefault(par, []).append(pid)
+    total, stack = 0.0, [root]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0.0, ""))[1]
+        stack.extend(children.get(p, []))
     return total
 
 

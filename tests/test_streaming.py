@@ -234,3 +234,76 @@ def test_salted_repartition_spreads_hot_key(spark, input_dir):
         .count()
     )
     assert parts.count() >= 8  # one hot conversation spans many partitions
+
+
+def test_chained_join_then_window_stream_equals_batch(spark, tmp_path, input_dir):
+    """CHAINED stateful operators in ONE streaming query: stream-stream join
+    → tumbling-window aggregation (SURVEY §7 'hard parts'). Two far-future
+    flush rows (one per join side) advance BOTH watermark nodes so the
+    global watermark finalizes every real window under availableNow."""
+    flush = spark.createDataFrame(
+        [
+            ("__flush_a__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00"),
+            ("__flush_t__", 0, "tool", "x", "web_search", "2027-01-01 00:00:00"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "chain_in")
+    flush.write.mode("append").parquet(d)
+    spark.read.parquet(input_dir).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d)
+    agg = joins.agent_tool_hourly_stats(
+        stream, max_lag_seconds=3600, watermark="2 hours", window="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("chain_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.tool_name): r.n_calls
+        for r in spark.table("chain_stats").collect()
+    }
+    want = {
+        (r.window_start, r.tool_name): r.n_calls
+        for r in joins.agent_tool_hourly_stats(
+            spark.read.parquet(input_dir),
+            max_lag_seconds=3600,
+            watermark="2 hours",
+            window="1 hour",
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # the query really ran TWO stateful operators (join + window agg)
+    ops = {s["operatorName"] for s in (q.lastProgress or {}).get("stateOperators", [])}
+    assert {"symmetricHashJoin", "stateStoreSave"} <= ops, ops
+
+
+def test_pubsub_message_converter_payload(spark):
+    """P13 contract (common/PubSubMessageConverts.java:30-40): value = JSON
+    of the row's fields, one 'table_name' attribute carrying the routing
+    key; layout follows Kafka's key/value/headers writer schema."""
+    import json as j
+
+    from dlp_dataflow_deidentification_spark.streaming import messages
+
+    df = spark.createDataFrame(
+        [("tbl_a", "c1", 0, "hello"), ("tbl_b", "c2", 1, None)],
+        "source_key string, conv_id string, turn_idx int, text string",
+    )
+    out = messages.to_messages(df)
+    assert {f.name: f.dataType.simpleString() for f in out.schema.fields} == {
+        "key": "string",
+        "value": "string",
+        "headers": "array<struct<key:string,value:binary>>",
+    }
+    rows = {r.key: r for r in out.collect()}
+    assert j.loads(rows["tbl_a"].value) == {"conv_id": "c1", "turn_idx": 0, "text": "hello"}
+    # to_json drops null fields — same as the reference's gson payload
+    assert j.loads(rows["tbl_b"].value) == {"conv_id": "c2", "turn_idx": 1}
+    h = rows["tbl_a"].headers
+    assert [(x.key, bytes(x.value).decode()) for x in h] == [("table_name", "tbl_a")]
