@@ -43,6 +43,10 @@ def curate(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("lang_pred").isin(*languages))
     )
+    # the survivor set feeds BOTH the dedup winner aggregation and the join
+    # back; materialize it once — the quality/lang regex scoring is the
+    # expensive part and must not run per consumer
+    kept = kept.localCheckpoint()
 
     # exact dedup: keep the smallest id per normalized text
     winners = exact_dedup(kept, text_col, id_col).select(id_col)

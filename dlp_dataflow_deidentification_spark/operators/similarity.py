@@ -120,13 +120,32 @@ def lsh_topk(
             F.array(*[b + F.lit(t << 32) for t, b in enumerate(table_buckets)])
         ).alias("bucket"),
     )
-    probes = []
-    for t, b in enumerate(table_buckets):
-        probes.append(b + F.lit(t << 32))
-        probes.extend(b.bitwiseXOR(F.lit(1 << p)) + F.lit(t << 32) for p in range(n_planes))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.array(*probes)).alias("bucket"),
+    # each query's base bucket per table is computed ONCE (n_tables dot
+    # products); the 1+n_planes probe buckets derive from it by XOR — the
+    # flat per-probe formulation would re-evaluate the full hyperplane dot
+    # products n_tables*(1+n_planes) times per row
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), b.alias("b"))
+                for t, b in enumerate(table_buckets)
+            ]
+        )
+    ).alias("tb")
+    probe_arr = F.concat(
+        F.array(F.col("tb.b")),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.col("tb.b").bitwiseXOR(F.call_function("shiftleft", F.lit(1), p)),
+        ),
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), tb)
+        .select("query_id", F.col("tb.t").alias("t"), F.explode(probe_arr).alias("pb"))
+        .select(
+            "query_id",
+            (F.col("pb").cast("long") + F.col("t").cast("long") * F.lit(1 << 32)).alias("bucket"),
+        )
     )
     cands = (
         c.join(F.broadcast(q), "bucket")
