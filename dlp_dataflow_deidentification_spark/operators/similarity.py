@@ -76,16 +76,28 @@ def _plane_components(seed: int, plane: int, dim: int) -> list[float]:
 
 def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11):
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_i> for n_planes
-    deterministic hyperplanes (literal constant arrays). Pure JVM expression;
-    per row: n_planes · dim multiply-adds, zero hashing."""
+    deterministic hyperplanes (one array<array<double>> literal). Pure JVM
+    expression; per row: n_planes · dim multiply-adds executed by a looped
+    higher-order aggregate — NOT unrolled into n_planes·dim codegen nodes
+    (the unrolled form produced multi-second janino compiles per table)."""
     v = _as_double(vec_col)
-    out = F.lit(0)
-    for p in range(n_planes):
-        comps = F.array(*[F.lit(c) for c in _plane_components(seed, p, dim)])
-        out = out.bitwiseOR(
-            F.when(_dot(v, comps) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-        )
-    return out
+    planes = F.array(
+        *[
+            F.array(*[F.lit(c) for c in _plane_components(seed, p, dim)])
+            for p in range(n_planes)
+        ]
+    )
+    return F.aggregate(
+        planes,
+        F.struct(F.lit(0).alias("b"), F.lit(0).alias("p")),
+        lambda acc, plane: F.struct(
+            F.when(_dot(v, plane) >= 0, acc["b"].bitwiseOR(F.call_function("shiftleft", F.lit(1), acc["p"])))
+            .otherwise(acc["b"])
+            .alias("b"),
+            (acc["p"] + F.lit(1)).alias("p"),
+        ),
+        lambda acc: acc["b"],
+    )
 
 
 def lsh_topk(

@@ -59,3 +59,13 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(["conv_id", "turn_idx", "text"]).issubset(df.columns)
+
+
+def test_no_unbroadcast_cartesian_in_any_query_plan(spark, sf_dir):
+    """100-TB guard: no driver query may plan a non-broadcast cartesian
+    product (a small-side broadcast nested-loop — cosine_topk's deliberate
+    query-side broadcast — is fine; a CartesianProduct of two large sides
+    is never fine)."""
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:1500]}"
