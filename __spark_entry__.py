@@ -267,6 +267,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (coarse k-means quantizer trained in-engine, nprobe cell
+    scan) over the planted near-neighbor corpus. Oracle = the exact cosine
+    ranking: hash-match certifies recall@10 = 1.0 for the IVF index."""
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    corpus = _ann_corpus(spark, sf_dir)
+    qs = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(corpus, qs, k=10, n_cells=8, nprobe=3, iters=2)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.operators import similarity
 
@@ -413,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dedup": q_embedding_dedup,
         "text_metrics": q_text_metrics,
         "session_windows": q_session_windows,
@@ -536,6 +551,9 @@ def oracle_sql() -> dict[str, str]:
         # multi-table Hamming-1-probe LSH (ranks/sims of true top-10 members
         # are identical by construction once every member is a candidate).
         "ann_lsh_topk": _ann_lsh_oracle(),
+        # ivf_topk scans only nprobe k-means cells; its oracle is the same
+        # exact ranking — equality certifies IVF recall@10 = 1.0 here too
+        "ivf_topk": _ann_lsh_oracle(),
         "embedding_dedup": (
             " WITH ecorpus AS (SELECT vec_id, embedding FROM embeddings"
             "   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)"

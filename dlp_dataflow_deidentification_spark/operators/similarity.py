@@ -181,6 +181,93 @@ def lsh_topk(
     )
 
 
+def _centroid_lit(cents: "list[list[float]]"):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def _cell_of(vec_col, cents: "list[list[float]]"):
+    """1-based index of the max-cosine centroid (first index on ties)."""
+    sims = F.transform(_centroid_lit(cents), lambda ct: cosine(vec_col, ct))
+    return F.array_position(sims, F.array_max(sims)).cast("int")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> "list[list[float]]":
+    """Deterministic spherical k-means coarse quantizer: seeds = the k
+    lowest-id corpus vectors, then ``iters`` Lloyd rounds of
+    (assign-by-max-cosine → per-dimension mean). Each round is one Spark
+    job (narrow assign + one groupBy with dim avg aggregates); the k·dim
+    centroid matrix is collected to the driver between rounds — the
+    standard Spark k-means shape (centroids are broadcast-small, the data
+    never leaves the cluster). Cosine is scale-invariant so centroid
+    renormalization is unnecessary."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    cents = [r.v for r in c.orderBy("id").limit(k).collect()]
+    for _ in range(iters):
+        assigned = c.select(_cell_of(F.col("v"), cents).alias("cell"), "v")
+        rows = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        # empty cells keep their previous centroid
+        cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer (kmeans_centroids) +
+    inverted cell lists; each query scans only its ``nprobe`` nearest cells
+    with exact cosine. At 100 TB the corpus is written partitioned/clustered
+    by cell id once, so a query touches ~nprobe/n_cells of the data — the
+    classic IVF trade (FAISS IVF-Flat shape) with the quantizer trained
+    in-engine. Output: query_id, vec_id, rank, sim."""
+    cents = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col, dim)
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        _cell_of(_as_double(F.col(vec_col)), cents).alias("cell"),
+    )
+    # top-nprobe cells per query: argsort centroid sims desc (index asc ties)
+    sims = F.transform(_centroid_lit(cents), lambda ct: cosine(F.col("qv"), ct))
+    ranked = F.array_sort(
+        F.transform(
+            sims, lambda s, i: F.struct((-s).alias("negs"), (i + 1).cast("int").alias("cell"))
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cell"])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select("query_id", "qv", F.explode(probes).alias("cell"))
+    scored = cells.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -80,15 +80,33 @@ class StreamingDeidJob:
     # (a shared hardcoded key would make every deployment's tokens public)
     crypto_key: "str | None" = None
     partition_output_by: str | None = None  # dynamic destinations (per-key)
+    # dead-letter leg (the reference's API-error side output,
+    # common/DLPTransform.java:330-343): rows whose transform fails — a
+    # corrupt token in reid mode, a null payload cell otherwise — are
+    # committed to this second exactly-once sink within the SAME batch id
+    error_output_dir: "str | None" = None
 
     def sink(self) -> IdempotentBatchSink:
         return IdempotentBatchSink(self.output_dir, partition_col=self.partition_output_by)
+
+    def error_sink(self) -> "IdempotentBatchSink | None":
+        if not self.error_output_dir:
+            return None
+        return IdempotentBatchSink(self.error_output_dir)
 
     def transformed(self, df: DataFrame) -> DataFrame:
         # numberOfRowsRead counter analogue (reference:
         # DLPTextToBigQueryStreaming.java:683-686) — per-batch observed metric
         df = df.observe("reader", F.count(F.lit(1)).alias("rows_read"))
+        route_errors = bool(self.error_output_dir)
         if self.mode == "deid":
+            if route_errors:  # null payload cells → dead-letter, like a
+                # malformed CSV record in the reference's reader
+                dead = None
+                for c in self.text_columns:
+                    this = F.col(c).isNull()
+                    dead = this if dead is None else (dead | this)
+                df = df.withColumn("__dead", F.coalesce(dead, F.lit(False)))
             out = deidentify(df, self.template)
         elif self.mode == "inspect":
             from ..operators.inspect import inspect
@@ -100,16 +118,71 @@ class StreamingDeidJob:
                 id_columns=["conv_id", "turn_idx", "ts"],
             )
         elif self.mode == "reid":
-            from ..operators.deidentify import reidentify
+            from ..functions import transforms
 
             if not self.crypto_key:
                 raise ValueError("mode='reid' requires an explicit crypto_key")
-            out = reidentify(df, list(self.reid_columns), self.crypto_key)
+            out = df
+            dead = F.lit(False)
+            for c in self.reid_columns:
+                dec = transforms.crypto_reidentify(
+                    out[c], self.crypto_key, strict=not route_errors
+                )
+                if route_errors:
+                    # decode failure = non-null token that decrypts to NULL
+                    dead = dead | (F.col(c).isNotNull() & dec.isNull())
+                out = out.withColumn(f"__dec_{c}", dec)
+            if route_errors:
+                out = out.withColumn("__dead", dead)
+            for c in self.reid_columns:
+                # dead rows keep their original (undecodable) token so the
+                # error table carries the evidence, like the reference's
+                # error_log payload
+                val = (
+                    F.when(F.col("__dead"), F.col(c)).otherwise(F.col(f"__dec_{c}"))
+                    if route_errors
+                    else F.col(f"__dec_{c}")
+                )
+                out = out.withColumn(c, val).drop(f"__dec_{c}")
         else:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.num_shards:
             out = salted_repartition(out, "conv_id", self.num_shards, "turn_idx")
         return out
+
+    def _foreach(self):
+        """foreachBatch body: one exactly-once sink, or — when a dead-letter
+        dir is configured — a success/error fan-out committed under the SAME
+        batch id (both legs replay-idempotent; the reference's TupleTag
+        success/failure side outputs, common/DLPTransform.java:129-154)."""
+        main, err = self.sink(), self.error_sink()
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            if err is not None and "__dead" in batch_df.columns:
+                batch_df.persist()
+                try:
+                    main(batch_df.filter(~F.col("__dead")).drop("__dead"), batch_id)
+                    errors = (
+                        batch_df.filter(F.col("__dead"))
+                        .drop("__dead")
+                        .withColumn(
+                            "error_message",
+                            F.lit(
+                                "reid: undecodable token"
+                                if self.mode == "reid"
+                                else "malformed record: required field null"
+                            ),
+                        )
+                    )
+                    err(errors, batch_id)
+                finally:
+                    batch_df.unpersist()
+            else:
+                if "__dead" in batch_df.columns:
+                    batch_df = batch_df.drop("__dead")
+                main(batch_df, batch_id)
+
+        return fn
 
     def start(self, trigger: dict | None = None):
         """Start the stream; default trigger availableNow (drain all pending
@@ -119,7 +192,7 @@ class StreamingDeidJob:
             read_transcript_stream(self.spark, self.input_dir, self.max_files_per_trigger)
         )
         writer = (
-            stream.writeStream.foreachBatch(self.sink())
+            stream.writeStream.foreachBatch(self._foreach())
             .option("checkpointLocation", self.checkpoint_dir)
             .outputMode("append")
         )

@@ -137,3 +137,56 @@ def test_kill_mid_stream_then_resume_exactly_once(spark, tmp_path, input_dir, te
         final.groupBy("conv_id", "turn_idx", "ts").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_streaming_reid_dead_letter_side_output(spark, tmp_path, input_dir, template):
+    """K5 in streaming form: corrupt tokens land in the dead-letter sink
+    (with the original token + error_message) under the SAME exactly-once
+    batch ids; good rows decode to the original text."""
+    from dlp_dataflow_deidentification_spark.functions import transforms
+
+    key = "0123456789abcdef"
+    tdf = spark.read.parquet(input_dir)
+    tok = tdf.withColumn("text", transforms.crypto_deterministic(F.col("text"), key))
+    corrupted = tok.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 17 == 0, F.lit("@@not-a-token@@")).otherwise(
+            F.col("text")
+        ),
+    )
+    tok_dir = str(tmp_path / "tok_dl")
+    corrupted.write.parquet(tok_dir)
+
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        tok_dir,
+        str(tmp_path / "out_dl"),
+        str(tmp_path / "ckpt_dl"),
+        mode="reid",
+        reid_columns=("text",),
+        crypto_key=key,
+        error_output_dir=str(tmp_path / "errs_dl"),
+    )
+    job.run_to_completion()
+
+    good = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in job.sink().read_committed(spark).collect()
+    }
+    errs = job.error_sink().read_committed(spark)
+    bad_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in corrupted.filter("turn_idx % 17 = 0").collect()
+    }
+    want_good = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in tdf.filter("turn_idx % 17 != 0").collect()
+    }
+    assert good == want_good  # every good row decoded to the original text
+    err_rows = errs.collect()
+    assert {(r.conv_id, r.turn_idx) for r in err_rows} == bad_keys
+    assert all(r.text == "@@not-a-token@@" for r in err_rows)  # evidence kept
+    assert all(r.error_message == "reid: undecodable token" for r in err_rows)
+    # both legs committed under the same exactly-once ledger batch ids
+    assert set(job.error_sink().committed_ids()) <= set(job.sink().committed_ids())
