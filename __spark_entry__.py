@@ -195,11 +195,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification. The oracle is
     plain exact Jaccard over ALL pairs, so the driver's hash-match doubles as
-    a 100%-recall proof for the LSH stage (bands=32, rows=2 at j>=0.5)."""
+    a 100%-recall proof for the LSH stage (bands=64, rows=2: per-pair miss
+    probability (1-j^2)^64 ≈ 1e-8 at j=0.5 — holds across every test SF)."""
     from dlp_dataflow_deidentification_spark.operators import dedup
 
     pairs = dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), num_hashes=64, bands=32, shingle_n=5, threshold=0.5
+        _docs(spark, sf_dir), num_hashes=128, bands=64, shingle_n=5, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

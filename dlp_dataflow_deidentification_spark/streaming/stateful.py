@@ -55,6 +55,42 @@ _BATCH_STATE_SCHEMA = StructType(
 )
 
 
+def pack_greedy(
+    sizes, buf_bytes: int, buf_rows: int, next_seq: int, max_batch_bytes: int
+):
+    """Vectorized greedy byte-packing (cumsum + one searchsorted per emitted
+    batch). Semantics identical to the scalar rule the reference's
+    BatchRequestForDLP implements per bag: flush when adding the next row
+    would exceed the budget and the buffer is non-empty; a single oversized
+    row forms its own batch. Returns (emitted [(seq, n_rows, n_bytes)...],
+    (buf_bytes, buf_rows, next_seq))."""
+    out: list[tuple] = []
+    sizes = np.asarray(sizes, dtype=np.int64)
+    if not len(sizes):
+        return out, (buf_bytes, buf_rows, next_seq)
+    cs = np.cumsum(sizes)
+    start, n_in = 0, len(sizes)
+    while start < n_in:
+        base = int(cs[start - 1]) if start else 0
+        budget = max_batch_bytes - buf_bytes if buf_rows else max_batch_bytes
+        j = int(np.searchsorted(cs, base + budget, side="right")) - 1
+        if j < start:
+            if buf_rows:  # next row overflows the carry → flush it
+                out.append((next_seq, buf_rows, buf_bytes))
+                next_seq += 1
+                buf_bytes, buf_rows = 0, 0
+                continue
+            j = start  # oversized single row: its own buffer
+        buf_bytes += int(cs[j]) - base
+        buf_rows += j - start + 1
+        start = j + 1
+        if start < n_in:  # row j+1 overflowed → emit now
+            out.append((next_seq, buf_rows, buf_bytes))
+            next_seq += 1
+            buf_bytes, buf_rows = 0, 0
+    return out, (buf_bytes, buf_rows, next_seq)
+
+
 def batched_requests(
     df: DataFrame,
     key_col: str = "conv_id",
@@ -94,31 +130,10 @@ def batched_requests(
                     max_ms = max(max_ms, int(ms))
                 if not len(sizes):
                     continue
-                # vectorized greedy packing: cumsum + one searchsorted per
-                # emitted batch (O(batches·log n), not a per-row Python loop).
-                # Semantics identical to the scalar greedy rule: flush when
-                # adding the next row would exceed the budget and the buffer
-                # is non-empty; a single oversized row forms its own batch.
-                cs = np.cumsum(sizes)
-                start, n_in = 0, len(sizes)
-                while start < n_in:
-                    base = int(cs[start - 1]) if start else 0
-                    budget = max_batch_bytes - buf_bytes if buf_rows else max_batch_bytes
-                    j = int(np.searchsorted(cs, base + budget, side="right")) - 1
-                    if j < start:
-                        if buf_rows:  # next row overflows the carry → flush it
-                            out.append((key[0], next_seq, buf_rows, buf_bytes))
-                            next_seq += 1
-                            buf_bytes, buf_rows = 0, 0
-                            continue
-                        j = start  # oversized single row: its own buffer
-                    buf_bytes += int(cs[j]) - base
-                    buf_rows += j - start + 1
-                    start = j + 1
-                    if start < n_in:  # row j+1 overflowed → emit now
-                        out.append((key[0], next_seq, buf_rows, buf_bytes))
-                        next_seq += 1
-                        buf_bytes, buf_rows = 0, 0
+                emitted, (buf_bytes, buf_rows, next_seq) = pack_greedy(
+                    sizes, buf_bytes, buf_rows, next_seq, max_batch_bytes
+                )
+                out.extend((key[0], seq, n, b) for seq, n, b in emitted)
             state.update((buf_bytes, buf_rows, next_seq, max_ms))
             # Beam: event-time timer at window max; here: watermark-driven
             # timeout at last-event-time + flush gap

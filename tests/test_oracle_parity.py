@@ -69,3 +69,21 @@ def test_no_unbroadcast_cartesian_in_any_query_plan(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:1500]}"
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """Column pruning must reach the parquet scan: a query that touches only
+    (doc_id, text) may not read the documents table's other columns."""
+    plan = (
+        entrymod.queries()["text_metrics"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:800]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols

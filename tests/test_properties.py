@@ -107,3 +107,41 @@ def test_inspect_quotes_substring_property(spark, values):
     rows = inspect(df, infotypes.DEFAULT_DETECTOR_ORDER, ["text"], ["rid"]).collect()
     for r in rows:
         assert r.quote in values[r.rid]  # every finding is a real substring
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=2000), max_size=60),
+    carry_bytes=st.integers(min_value=0, max_value=3000),
+    carry_rows=st.integers(min_value=0, max_value=5),
+    max_bytes=st.integers(min_value=1, max_value=1500),
+)
+def test_vectorized_packer_equals_scalar_greedy(sizes, carry_bytes, carry_rows, max_bytes):
+    """pack_greedy (cumsum+searchsorted) must reproduce the scalar greedy
+    rule exactly for any size sequence and any carried-in buffer state
+    (the BatchRequestForDLP bag-packing contract)."""
+    from dlp_dataflow_deidentification_spark.streaming.stateful import pack_greedy
+
+    if carry_rows == 0:
+        carry_bytes = 0
+    elif carry_bytes == 0:
+        carry_rows = 0
+
+    def scalar():
+        buf_b, buf_r, seq, out = carry_bytes, carry_rows, 7, []
+        for n in sizes:
+            if buf_r and buf_b + n > max_bytes:
+                out.append((seq, buf_r, buf_b))
+                seq += 1
+                buf_b = buf_r = 0
+            buf_b += n
+            buf_r += 1
+        return out, (buf_b, buf_r, seq)
+
+    got = pack_greedy(sizes, carry_bytes, carry_rows, 7, max_bytes)
+    want = scalar()
+    assert (got[0], tuple(got[1])) == (want[0], tuple(want[1]))
