@@ -173,9 +173,16 @@ def crypto_deterministic(col: Column, key: str, surrogate_info_type: str | None 
     Native fast path: AES-ECB over the UTF-8 cell (deterministic: identical
     plaintext → identical token), base64-encoded, optionally wrapped in a
     ``SURROGATE(len):token`` envelope like DLP's surrogateInfoType
-    (deid-template.json:212-231). ECB on independent short cells gives the
-    same per-cell determinism contract as AES-SIV; the AES-SIV code path
-    (crypto.py) is available when rotating-key misuse-resistance is required.
+    (deid-template.json:212-231).
+
+    SECURITY TRADE-OFF — choose deliberately: for cells longer than 16
+    bytes, ECB reveals shared 16-byte-aligned plaintext prefixes across
+    different cells (identical leading blocks → identical leading
+    ciphertext). The reference's cipher is AES-SIV, which leaks only exact
+    whole-value equality; the template compiler therefore defaults
+    cryptoDeterministicConfig to ``crypto.siv_tokenize`` and this ECB path
+    is an explicit opt-in (plans/config.py deterministic_mode="ecb") for
+    short-cell / throughput-critical columns.
 
     ``key`` must be 16/24/32 ASCII characters (AES key sizes).
     """
