@@ -55,12 +55,20 @@ def _maybe_inspect_config(template: "str | dict") -> "InspectConfig | None":
 ERROR_SCHEMA_COLS = ("file_name", "transaction_timestamp", "error_message", "stack_trace")
 
 
-def load_template(template: "str | dict", crypto_key: "str | None") -> DeidTemplate:
+def load_template(
+    template: "str | dict",
+    crypto_key: "str | None",
+    deterministic_mode: str = "siv",
+) -> DeidTemplate:
     # no default key: templates using crypto transforms raise from the
     # compiler unless the caller supplies one (plans/config._require_key)
     if isinstance(template, str):
-        return DeidTemplate.from_file(template, crypto_key=crypto_key)
-    return DeidTemplate.from_dict(template, crypto_key=crypto_key)
+        return DeidTemplate.from_file(
+            template, crypto_key=crypto_key, deterministic_mode=deterministic_mode
+        )
+    return DeidTemplate.from_dict(
+        template, crypto_key=crypto_key, deterministic_mode=deterministic_mode
+    )
 
 
 def split_malformed(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
@@ -121,7 +129,12 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None
 
     mode = spec.get("mode", "deid")
     if mode == "deid":
-        out = deidentify(df, load_template(spec["template"], crypto_key))
+        out = deidentify(
+            df,
+            load_template(
+                spec["template"], crypto_key, spec.get("crypto_mode", "siv")
+            ),
+        )
     elif mode == "reid":
         if not crypto_key:
             raise ValueError("mode='reid' requires an explicit crypto_key")
