@@ -157,6 +157,25 @@ def q_agent_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.agent_tool_correlate(_transcripts(spark, sf_dir), max_lag_seconds=21600)
 
 
+def q_tool_call_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the CHAINED stateful streaming plan (stream-stream join
+    → tumbling-window aggregation in one query, streaming/joins.py::
+    agent_tool_hourly_stats; stream≡batch equality pinned by
+    tests/test_streaming.py::test_chained_join_then_window_stream_equals_batch)."""
+    from dlp_dataflow_deidentification_spark.streaming import joins
+
+    out = joins.agent_tool_hourly_stats(
+        _transcripts(spark, sf_dir), max_lag_seconds=21600, window="1 hour"
+    )
+    return out.select(
+        sess.epoch_seconds(F.col("window_start").cast("timestamp")).alias(
+            "window_start_epoch"
+        ),
+        "tool_name",
+        F.col("n_calls").cast("long").alias("n_calls"),
+    )
+
+
 def q_windowed_infotype_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdf = _transcripts(spark, sf_dir)
     findings = dds.inspect(
@@ -421,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crypto_roundtrip": q_crypto_roundtrip,
         "sessionize": q_sessionize,
         "agent_tool_join": q_agent_tool_join,
+        "tool_call_hourly": q_tool_call_hourly,
         "windowed_infotype_hits": q_windowed_infotype_hits,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -515,6 +535,14 @@ def oracle_sql() -> dict[str, str]:
             f" FROM transcripts a JOIN transcripts b"
             f" ON a.conv_id = b.conv_id AND a.role = 'agent' AND b.role = 'tool'"
             f" AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND"
+        ),
+        "tool_call_hourly": (
+            f"{t} SELECT CAST(floor(epoch(b.ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,"
+            f" b.tool AS tool_name, COUNT(*) AS n_calls"
+            f" FROM transcripts a JOIN transcripts b"
+            f" ON a.conv_id = b.conv_id AND a.role = 'agent' AND b.role = 'tool'"
+            f" AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 21600 SECOND"
+            f" GROUP BY 1, 2"
         ),
         "windowed_infotype_hits": (
             f"{t}, f AS ({inspect_union.replace('conv_id, turn_idx,', 'ts,')})"
