@@ -21,15 +21,20 @@ def docs(spark, sf_dir):
 
 
 def test_exact_dedup(spark, docs):
-    n_base = docs.filter("doc_id < 100000").count()
-    n_exact_dups = docs.filter("doc_id >= 200000").count()
+    # ground truth from the data itself: larger SFs contain a handful of
+    # naturally-duplicated base texts in addition to the planted +200000 dups
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    n_groups = docs.select(norm.alias("n")).distinct().count()
+    n_multi = (
+        docs.select(norm.alias("n")).groupBy("n").count().filter("count > 1").count()
+    )
     out = dedup.exact_dedup(docs)
-    kept = out.count()
-    # every exact dup collapses onto its base (min doc_id wins); near-dups survive
-    assert kept == docs.count() - n_exact_dups
+    assert out.count() == n_groups  # one winner per distinct normalized text
     dup_rows = out.filter("n_copies > 1")
-    assert dup_rows.count() == n_exact_dups
-    assert dup_rows.filter("doc_id >= 100000").count() == 0  # winner is always the base
+    assert dup_rows.count() == n_multi
+    assert dup_rows.filter("doc_id >= 100000").count() == 0  # winner is always a base id
+    # every planted exact dup (+200000) collapsed onto its base
+    assert out.filter("doc_id >= 200000").count() == 0
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark, docs):
