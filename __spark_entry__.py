@@ -140,13 +140,33 @@ def q_deid_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECB fast-path tokenize→reidentify roundtrip (explicit opt-in cipher)."""
     cards = _cards(spark, sf_dir)
     enc = cards.withColumn(
         "holder_name", dds.transforms.crypto_deterministic(F.col("holder_name"), KEY)
     ).withColumn("card_number", dds.transforms.crypto_deterministic(F.col("card_number"), KEY))
-    return dds.reidentify(enc, ["holder_name", "card_number"], KEY).select(
+    return dds.reidentify(enc, ["holder_name", "card_number"], KEY, mode="ecb").select(
         "id", "holder_name", "card_number"
     )
+
+
+def q_crypto_roundtrip_siv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-default cipher roundtrip: AES-SIV (RFC 5297, the
+    reference's cryptoDeterministicConfig cipher — deid-template.json:212-231)
+    via the template compiler's default path, with the DLP surrogate
+    envelope, reversed through reidentify's default mode. Arrow-batched
+    pandas UDF both ways; oracle = identity."""
+    from dlp_dataflow_deidentification_spark.functions import crypto
+    from dlp_dataflow_deidentification_spark.plans.config import derive_siv_key
+
+    cards = _cards(spark, sf_dir)
+    k = derive_siv_key(KEY)
+    enc = cards.withColumn(
+        "holder_name", crypto.siv_tokenize(F.col("holder_name"), k, "NAME_TOKEN")
+    ).withColumn("card_number", crypto.siv_tokenize(F.col("card_number"), k, "CC_TOKEN"))
+    out = dds.reidentify(enc, ["holder_name"], KEY, surrogate_info_type="NAME_TOKEN")
+    out = dds.reidentify(out, ["card_number"], KEY, surrogate_info_type="CC_TOKEN")
+    return out.select("id", "holder_name", "card_number")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inspect_findings": q_inspect_findings,
         "deid_cards": q_deid_cards,
         "crypto_roundtrip": q_crypto_roundtrip,
+        "crypto_roundtrip_siv": q_crypto_roundtrip_siv,
         "sessionize": q_sessionize,
         "agent_tool_join": q_agent_tool_join,
         "tool_call_hourly": q_tool_call_hourly,
@@ -513,6 +534,9 @@ def oracle_sql() -> dict[str, str]:
             f" FROM cards"
         ),
         "crypto_roundtrip": (
+            f"WITH cards AS ({CARDS_SQL}) SELECT id, holder_name, card_number FROM cards"
+        ),
+        "crypto_roundtrip_siv": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id, holder_name, card_number FROM cards"
         ),
         "sessionize": (

@@ -70,27 +70,50 @@ def siv_tokenize(col: Column, key: bytes, surrogate_info_type: "str | None" = No
     return tok
 
 
-def siv_reidentify(col: Column, key: bytes, surrogate_info_type: "str | None" = None) -> Column:
-    """Inverse of siv_tokenize (envelope strip + AES-SIV decrypt)."""
+def siv_reidentify(
+    col: Column,
+    key: bytes,
+    surrogate_info_type: "str | None" = None,
+    strict: bool = True,
+) -> Column:
+    """Inverse of siv_tokenize (envelope strip + AES-SIV decrypt).
+    ``strict=False`` nulls corrupt/foreign tokens instead of failing the job
+    (the try_aes_decrypt analogue for the SIV path — pair with the
+    dead-letter side output)."""
     s = col.cast("string")
     if surrogate_info_type:
         s = F.regexp_replace(s, r"^[A-Z0-9_]+\([0-9]+\):", "")
-    return aes_siv_decrypt(s, key)
+    return aes_siv_decrypt(s, key, strict)
 
 
-def aes_siv_decrypt(col: Column, key: bytes) -> Column:
-    """Inverse of aes_siv_encrypt (REID, DLPReidentifyText.java:323-381)."""
+def aes_siv_decrypt(col: Column, key: bytes, strict: bool = True) -> Column:
+    """Inverse of aes_siv_encrypt (REID, DLPReidentifyText.java:323-381).
+
+    ``strict=True`` raises on any undecryptable cell (fails the job, like
+    aes_decrypt). ``strict=False`` returns NULL for corrupt tokens — bad
+    base64, failed SIV authentication, or non-UTF-8 plaintext — so callers
+    can route them to the error table (common/DLPTransform.java:330-343)."""
     _require()
 
     @F.pandas_udf(StringType())
     def _dec(s: pd.Series) -> pd.Series:
+        import binascii
+
+        from cryptography.exceptions import InvalidTag
         from cryptography.hazmat.primitives.ciphers.aead import AESSIV
 
         siv = AESSIV(key)
-        return s.map(
-            lambda v: None
-            if v is None
-            else siv.decrypt(base64.b64decode(v), None).decode()
-        )
+
+        def one(v):
+            if v is None:
+                return None
+            if strict:
+                return siv.decrypt(base64.b64decode(v), None).decode()
+            try:
+                return siv.decrypt(base64.b64decode(v, validate=True), None).decode()
+            except (InvalidTag, binascii.Error, UnicodeDecodeError, ValueError):
+                return None
+
+        return s.map(one)
 
     return _dec(col)

@@ -290,11 +290,23 @@ def time_part(col: Column, part: str = "YEAR") -> Column:
     return fn(t).cast("string")
 
 
-def date_shift(col: Column, context: Column, key: str, max_days: int = 100) -> Column:
-    """Shift a date/timestamp by a deterministic per-context number of days in
-    [-max_days, max_days] (DLP dateShiftConfig with cryptoKey context)."""
-    span = 2 * max_days + 1
-    days = F.pmod(F.xxhash64(F.concat(F.lit(key), context.cast("string"))), F.lit(span)) - F.lit(
-        max_days
-    )
+def date_shift(
+    col: Column,
+    context: Column,
+    key: str,
+    max_days: int = 100,
+    min_days: "int | None" = None,
+) -> Column:
+    """Shift a date/timestamp by a deterministic per-context number of days
+    uniformly in [min_days, max_days] (DLP dateShiftConfig with cryptoKey
+    context; lowerBoundDays/upperBoundDays are both honored — e.g.
+    min_days=0 gives DLP's valid forward-only shift). ``min_days`` defaults
+    to -max_days (the symmetric legacy behavior)."""
+    lower = -max_days if min_days is None else min_days
+    if lower > max_days:
+        raise ValueError(f"min_days ({lower}) must be <= max_days ({max_days})")
+    span = max_days - lower + 1
+    days = F.pmod(
+        F.xxhash64(F.concat(F.lit(key), context.cast("string"))), F.lit(span)
+    ) + F.lit(lower)
     return F.timestamp_add("DAY", days.cast("int"), col.cast("timestamp"))

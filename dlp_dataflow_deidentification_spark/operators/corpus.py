@@ -44,9 +44,10 @@ def curate(
         & (F.col("lang_pred").isin(*languages))
     )
     # the survivor set feeds BOTH the dedup winner aggregation and the join
-    # back; materialize it once — the quality/lang regex scoring is the
-    # expensive part and must not run per consumer
-    kept = kept.localCheckpoint()
+    # back; cache it once (persist keeps lineage: fault-tolerant at scale,
+    # and lazy — no job triggered at operator-construction time) so the
+    # quality/lang regex scoring does not run per consumer
+    kept = kept.persist()
 
     # exact dedup: keep the smallest id per normalized text
     winners = exact_dedup(kept, text_col, id_col).select(id_col)

@@ -153,11 +153,11 @@ def minhash_signatures_df(
 
 def _signatures_from_hashed_arrays(sh: DataFrame, num_hashes: int) -> DataFrame:
     """Signatures as ONE narrow projection (no explode, no shuffle) over a
-    MATERIALIZED hashed-shingle table: with `sh` checkpointed, the
+    MATERIALIZED hashed-shingle table: with `sh` persisted, the
     re-evaluation that makes the pure-Column form unusable on lazy inputs
     (no CSE across HOFs) costs only a pmod over an in-memory long array —
     ~6x faster than explode+aggregate and one less shuffle. Only call this
-    with a materialized (checkpointed/cached) array<bigint> column."""
+    with a persisted/cached array<bigint> column."""
 
     def _mk(a: int, b: int):
         return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_PRIME))
@@ -198,11 +198,21 @@ def _spread(df: DataFrame) -> DataFrame:
     stages: shingling+hashing costs ~50 expression evaluations per input
     row, decided AFTER the scan split, so a small input (few parquet row
     groups) would pin the whole dedup pipeline to a handful of cores. No-op
-    when the input already has enough splits (the 100 TB case)."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    when the input is big enough to split widely on its own (the 100 TB
+    case). The check uses Catalyst's optimized-plan size estimate vs
+    spark.sql.files.maxPartitionBytes — no RDD conversion, no job."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+        if max_pb > 0 and est_bytes // max_pb >= want:
+            return df  # wide enough already: don't shuffle the corpus text
+    except Exception:
+        pass  # stats unavailable: fall through to the safe small-input path
+    return df.repartition(want)
 
 
 def _pairs_from_buckets(member_df: DataFrame, bucket_col: str, max_bucket: int) -> DataFrame:
@@ -245,7 +255,7 @@ def minhash_lsh_pairs(
     signature agreement ≥ threshold (estimator of Jaccard).
     Output: id_a < id_b, est_jaccard.
     """
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n).localCheckpoint()
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_n).persist()
     cands = _lsh_candidates(sigs, num_hashes, bands)
     a = sigs.select(F.col("id").alias("__ia"), F.col("sig").alias("sig"))
     b = sigs.select(F.col("id").alias("__ib"), F.col("sig").alias("rsig"))
@@ -306,10 +316,11 @@ def minhash_dedup_pairs(
     Output: id_a < id_b, jaccard (double).
 
     The shingle table feeds BOTH the signature aggregation and the
-    verification join; it is materialized once (localCheckpoint) instead of
-    recomputed per consumer — at 100 TB this is the standard
+    verification join; it is cached once (persist — lineage kept, so an
+    executor loss recomputes the lost blocks instead of failing the job)
+    rather than recomputed per consumer — at 100 TB this is the standard
     materialize-the-signature-table step of a dedup pipeline."""
-    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).localCheckpoint()
+    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).persist()
     sigs = _signatures_from_hashed_arrays(sh, num_hashes)
     cands = _lsh_candidates(sigs, num_hashes, bands)
     return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
@@ -331,7 +342,7 @@ def ngram_jaccard_pairs(
     sharing ≥1 *indexable* shingle; Jaccard is then computed EXACTLY on the
     full shingle sets of the candidates (materialized once, see
     minhash_dedup_pairs). Output: id_a < id_b, jaccard."""
-    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).localCheckpoint()
+    sh = shingle_df(_spread(df), text_col, id_col, shingle_n).persist()
     inv = sh.select("id", F.explode("sh").alias("g"))
     # df cap ≡ bucket-size cap: a shingle's inverted-index bucket has one
     # entry per containing doc, so dropping buckets > max_df IS the
@@ -438,9 +449,9 @@ def simhash_pairs(
     Output: id_a < id_b, hamming."""
     n_bits = 60 if portable else 64
     width = n_bits // 4
-    # materialized once: the pigeonhole self-join would otherwise recompute
-    # the fingerprint aggregation for its second side
-    base = simhash_df(df, text_col, id_col, portable).localCheckpoint()
+    # cached once (lineage kept): the pigeonhole self-join would otherwise
+    # recompute the fingerprint aggregation for its second side
+    base = simhash_df(df, text_col, id_col, portable).persist()
     chunks = base.select(
         "id",
         "sh",

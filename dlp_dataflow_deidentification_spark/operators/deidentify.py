@@ -36,14 +36,19 @@ def reidentify(
     key: str,
     surrogate_info_type: str | None = None,
     strict: bool = True,
-    mode: str = "ecb",
+    mode: str = "siv",
 ) -> DataFrame:
     """Reverse deterministic tokenization on selected columns (reference REID:
     re-identify-config.config:8-27; output table suffix `_re_id`,
     common/DLPTransform.java:196-197). ``strict=False`` nulls corrupt tokens
     instead of failing (pair with plans.pipeline.split_malformed for the
-    error-table side output). ``mode="siv"`` reverses the template
-    compiler's default AES-SIV tokens (plans.config deterministic_mode)."""
+    error-table side output) — honored on BOTH cipher paths. ``mode``
+    defaults to "siv", matching the template compiler's
+    cryptoDeterministicConfig default (plans.config deterministic_mode), so
+    an omitted-mode deid→reid pair round-trips; pass ``mode="ecb"`` only for
+    tokens minted by the explicit ECB opt-in path."""
+    if mode not in ("siv", "ecb"):
+        raise ValueError(f"mode must be 'siv' or 'ecb', got {mode!r}")
     out = df
     for name in columns:
         if mode == "siv":
@@ -51,7 +56,7 @@ def reidentify(
             from ..plans.config import derive_siv_key
 
             col = crypto.siv_reidentify(
-                out[name], derive_siv_key(key), surrogate_info_type
+                out[name], derive_siv_key(key), surrogate_info_type, strict
             )
         else:
             col = transforms.crypto_reidentify(out[name], key, surrogate_info_type, strict)

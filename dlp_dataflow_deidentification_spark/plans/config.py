@@ -232,11 +232,14 @@ def _primitive(
         ds = prim["dateShiftConfig"]
         crypto_key = _require_key(crypto_key, "dateShiftConfig")
         upper = int(ds.get("upperBoundDays", 100))
+        # DLP requires both bounds; honor lowerBoundDays (e.g. 0 = valid
+        # forward-only shift) instead of silently assuming -upper
+        lower = int(ds.get("lowerBoundDays", -upper))
         ctx = (ds.get("context") or {}).get("name")
         # deterministic per-context shift; without a context field the value
         # itself keys the shift (DLP shifts randomly per value in that case)
         return lambda c: transforms.date_shift(
-            c, F.col(ctx) if ctx else c, crypto_key, max_days=upper
+            c, F.col(ctx) if ctx else c, crypto_key, max_days=upper, min_days=lower
         )
     if "replaceConfig" in prim:
         nv = prim["replaceConfig"]["newValue"]["stringValue"]

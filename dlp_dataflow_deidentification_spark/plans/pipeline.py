@@ -128,17 +128,20 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None
             metrics["rows_error"] = int(err_obs.get["n"])
 
     mode = spec.get("mode", "deid")
+    # ONE shared cipher default for the whole spec surface: a deid spec and a
+    # reid spec that both omit crypto_mode round-trip (both SIV, the template
+    # compiler's default). ECB-decrypting an SIV token can "succeed" and emit
+    # garbage, so asymmetric defaults would corrupt silently.
+    crypto_mode = spec.get("crypto_mode", "siv")
     if mode == "deid":
         out = deidentify(
             df,
-            load_template(
-                spec["template"], crypto_key, spec.get("crypto_mode", "siv")
-            ),
+            load_template(spec["template"], crypto_key, crypto_mode),
         )
     elif mode == "reid":
         if not crypto_key:
             raise ValueError("mode='reid' requires an explicit crypto_key")
-        out = reidentify(df, spec["reid_columns"], crypto_key, mode=spec.get("crypto_mode", "ecb"))
+        out = reidentify(df, spec["reid_columns"], crypto_key, mode=crypto_mode)
     elif mode == "inspect":
         ids = [files.SOURCE_KEY_COL] if files.SOURCE_KEY_COL in df.columns else []
         icfg = _maybe_inspect_config(spec["template"])

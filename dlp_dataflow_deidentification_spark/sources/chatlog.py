@@ -30,9 +30,10 @@ def parse_chatlog(
     conv_id = F.regexp_extract(line, r"^(\d+)", 1)
     # roles in order of appearance; texts: split by tags (first chunk = preamble/id)
     roles = F.regexp_extract_all(F.col(line_col), F.lit(_TAG), F.lit(1))
-    texts = F.slice(
-        F.split(line, _TAG), 2, 100000
-    )  # drop the leading "<id>" chunk
+    chunks = F.split(line, _TAG)
+    # drop the leading "<id>" chunk; length from F.size so arbitrarily long
+    # conversations are never silently truncated
+    texts = F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0)))
     turns = F.arrays_zip(roles.alias("role"), texts.alias("text"))
     out = (
         df.select(conv_id.alias("conv_id"), F.posexplode(turns).alias("turn_idx", "t"))

@@ -79,6 +79,10 @@ class StreamingDeidJob:
     # no default key on purpose: reid mode raises without an explicit key
     # (a shared hardcoded key would make every deployment's tokens public)
     crypto_key: "str | None" = None
+    # cipher for reid mode — "siv" (the template compiler's
+    # cryptoDeterministicConfig default, so an omitted-mode deid→reid pair
+    # round-trips in streaming too) or "ecb" for the explicit opt-in path
+    crypto_mode: str = "siv"
     partition_output_by: str | None = None  # dynamic destinations (per-key)
     # dead-letter leg (the reference's API-error side output,
     # common/DLPTransform.java:330-343): rows whose transform fails — a
@@ -122,12 +126,26 @@ class StreamingDeidJob:
 
             if not self.crypto_key:
                 raise ValueError("mode='reid' requires an explicit crypto_key")
+            if self.crypto_mode not in ("siv", "ecb"):
+                raise ValueError(
+                    f"crypto_mode must be 'siv' or 'ecb', got {self.crypto_mode!r}"
+                )
+            if self.crypto_mode == "siv":
+                from ..functions import crypto
+                from ..plans.config import derive_siv_key
+
+                siv_key = derive_siv_key(self.crypto_key)
             out = df
             dead = F.lit(False)
             for c in self.reid_columns:
-                dec = transforms.crypto_reidentify(
-                    out[c], self.crypto_key, strict=not route_errors
-                )
+                if self.crypto_mode == "siv":
+                    dec = crypto.siv_reidentify(
+                        out[c], siv_key, strict=not route_errors
+                    )
+                else:
+                    dec = transforms.crypto_reidentify(
+                        out[c], self.crypto_key, strict=not route_errors
+                    )
                 if route_errors:
                     # decode failure = non-null token that decrypts to NULL
                     dead = dead | (F.col(c).isNotNull() & dec.isNull())

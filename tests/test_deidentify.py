@@ -116,7 +116,7 @@ def test_reidentify_roundtrip_on_column(spark):
     enc = df.withColumn(
         "holder_name", dds.transforms.crypto_deterministic(F.col("holder_name"), KEY)
     )
-    back = dds.reidentify(enc, ["holder_name"], KEY)
+    back = dds.reidentify(enc, ["holder_name"], KEY, mode="ecb")
     assert sorted((r.id, r.holder_name) for r in back.collect()) == sorted(
         (r.id, r.holder_name) for r in df.collect()
     )
@@ -144,9 +144,37 @@ def test_reidentify_tolerant_mode_nulls_corrupt_tokens(spark):
     corrupt = enc.unionByName(
         spark.createDataFrame([("c3", "not-a-token!!")], "id string, name string")
     )
-    out = {r.id: r.name for r in dds.reidentify(corrupt, ["name"], KEY, strict=False).collect()}
+    out = {
+        r.id: r.name
+        for r in dds.reidentify(corrupt, ["name"], KEY, strict=False, mode="ecb").collect()
+    }
     assert out["c1"] == "Alice" and out["c2"] == "Bob" and out["c3"] is None
     # strict mode raises on the same input
+    with pytest.raises(Exception):
+        dds.reidentify(corrupt, ["name"], KEY, strict=True, mode="ecb").collect()
+
+
+def test_reidentify_tolerant_mode_siv_nulls_corrupt_tokens(spark):
+    """strict=False is honored on the SIV path too (one corrupt token must
+    not fail the whole job with InvalidTag)."""
+    from dlp_dataflow_deidentification_spark.functions import crypto
+    from dlp_dataflow_deidentification_spark.plans.config import derive_siv_key
+
+    if not crypto.HAVE_AESSIV:
+        pytest.skip("cryptography wheel absent")
+    df = spark.createDataFrame(
+        [("c1", "Alice"), ("c2", "Bob")], "id string, name string"
+    )
+    enc = df.withColumn(
+        "name", crypto.siv_tokenize(F.col("name"), derive_siv_key(KEY))
+    )
+    corrupt = enc.unionByName(
+        spark.createDataFrame(
+            [("c3", "not-b64!!"), ("c4", "bm90LWEtdG9rZW4=")], "id string, name string"
+        )
+    )
+    out = {r.id: r.name for r in dds.reidentify(corrupt, ["name"], KEY, strict=False).collect()}
+    assert out == {"c1": "Alice", "c2": "Bob", "c3": None, "c4": None}
     with pytest.raises(Exception):
         dds.reidentify(corrupt, ["name"], KEY, strict=True).collect()
 

@@ -102,7 +102,7 @@ def test_reference_template_ecb_optin_roundtrip(spark, sample):
     fast-path working end-to-end."""
     t = dds.DeidTemplate.from_file(TEMPLATE, crypto_key=KEY, deterministic_mode="ecb")
     enc = dds.deidentify(sample, t)
-    back = dds.reidentify(enc, ["Card Holder's Name", "Card Number"], KEY)
+    back = dds.reidentify(enc, ["Card Holder's Name", "Card Number"], KEY, mode="ecb")
     got = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in back.collect()}
     want = {r["ID"]: (r["Card Holder's Name"], r["Card Number"]) for r in sample.collect()}
     assert got == want

@@ -81,6 +81,7 @@ def test_streaming_reid_inverts_streaming_deid(spark, tmp_path, input_dir, templ
         mode="reid",
         reid_columns=("text",),
         crypto_key="0123456789abcdef",  # reid now refuses to run keyless
+        crypto_mode="ecb",  # tokens above were minted by the ECB opt-in path
     )
     job.run_to_completion()
     got = {
@@ -89,6 +90,64 @@ def test_streaming_reid_inverts_streaming_deid(spark, tmp_path, input_dir, templ
     }
     want = {(r.conv_id, r.turn_idx): r.text for r in tdf.select("conv_id", "turn_idx", "text").collect()}
     assert got == want and len(got) == 2000
+
+
+def test_streaming_reid_siv_default_roundtrip_and_dead_letter(
+    spark, tmp_path, input_dir, template
+):
+    """Default-mode (AES-SIV) streaming reid inverts SIV tokens minted by the
+    template compiler's default path, and — with a dead-letter dir — corrupt
+    tokens are NULL-routed per cell (crypto.aes_siv_decrypt strict=False)
+    instead of failing the job on the first InvalidTag."""
+    import pytest as _pytest
+
+    from dlp_dataflow_deidentification_spark.functions import crypto
+    from dlp_dataflow_deidentification_spark.plans.config import derive_siv_key
+
+    if not crypto.HAVE_AESSIV:
+        _pytest.skip("cryptography wheel absent: AES-SIV path unavailable")
+
+    key = "0123456789abcdef"
+    tdf = spark.read.parquet(input_dir)
+    tok = tdf.withColumn(
+        "text", crypto.siv_tokenize(F.col("text"), derive_siv_key(key))
+    )
+    corrupted = tok.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 13 == 0, F.lit("bm90LWEtdG9rZW4=")).otherwise(
+            F.col("text")
+        ),
+    )
+    tok_dir = str(tmp_path / "tok_siv")
+    corrupted.write.parquet(tok_dir)
+
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        tok_dir,
+        str(tmp_path / "out_siv"),
+        str(tmp_path / "ckpt_siv"),
+        mode="reid",  # crypto_mode left at its default: "siv"
+        reid_columns=("text",),
+        crypto_key=key,
+        error_output_dir=str(tmp_path / "errs_siv"),
+    )
+    job.run_to_completion()
+
+    good = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in job.sink().read_committed(spark).collect()
+    }
+    want_good = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in tdf.filter("turn_idx % 13 != 0").collect()
+    }
+    assert good == want_good
+    err_rows = job.error_sink().read_committed(spark).collect()
+    assert {(r.conv_id, r.turn_idx) for r in err_rows} == {
+        (r.conv_id, r.turn_idx) for r in tdf.filter("turn_idx % 13 = 0").collect()
+    }
+    assert all(r.text == "bm90LWEtdG9rZW4=" for r in err_rows)  # evidence kept
 
 
 def test_dynamic_per_key_destinations(spark, tmp_path, input_dir, template):
@@ -166,6 +225,7 @@ def test_streaming_reid_dead_letter_side_output(spark, tmp_path, input_dir, temp
         mode="reid",
         reid_columns=("text",),
         crypto_key=key,
+        crypto_mode="ecb",  # tokens above were minted by the ECB opt-in path
         error_output_dir=str(tmp_path / "errs_dl"),
     )
     job.run_to_completion()

@@ -187,3 +187,52 @@ def test_date_shift_deterministic_bounded(spark):
     days = [(r[0] - base).days for r in out]
     assert days[0] == days[1]  # same context key → same shift
     assert all(-10 <= d <= 10 for d in days)
+
+
+def test_date_shift_honors_lower_bound(spark):
+    """DLP dateShiftConfig with lowerBoundDays=0 is a valid forward-only
+    shift — no backward shifts may be produced (template path included)."""
+    from dlp_dataflow_deidentification_spark.plans.config import DeidTemplate
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", f"u{d}") for d in range(1, 29)],
+        "d string, k string",
+    )
+    out = df.select(
+        F.col("d").cast("timestamp").alias("base"),
+        transforms.date_shift(
+            F.col("d"), F.col("k"), KEY16, max_days=10, min_days=0
+        ).alias("o"),
+    ).collect()
+    days = [(r.o - r.base).days for r in out]
+    assert all(0 <= x <= 10 for x in days) and max(days) > 0
+
+    t = DeidTemplate.from_dict(
+        {
+            "deidentifyConfig": {
+                "recordTransformations": {
+                    "fieldTransformations": [
+                        {
+                            "fields": [{"name": "d"}],
+                            "primitiveTransformation": {
+                                "dateShiftConfig": {
+                                    "lowerBoundDays": 0,
+                                    "upperBoundDays": 10,
+                                    "context": {"name": "k"},
+                                }
+                            },
+                        }
+                    ]
+                }
+            }
+        },
+        crypto_key=KEY16,
+    )
+    import dlp_dataflow_deidentification_spark as dds
+
+    shifted = dds.deidentify(df.withColumn("d", F.col("d").cast("timestamp")), t)
+    rows = shifted.join(
+        df.select(F.col("k").alias("k2"), F.col("d").cast("timestamp").alias("base")),
+        F.col("k") == F.col("k2"),
+    ).select((F.col("d").cast("date") >= F.col("base").cast("date")).alias("fwd")).collect()
+    assert all(r.fwd for r in rows)
