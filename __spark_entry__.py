@@ -234,12 +234,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification. The oracle is
     plain exact Jaccard over ALL pairs, so the driver's hash-match doubles as
-    a 100%-recall proof for the LSH stage (bands=64, rows=2: per-pair miss
-    probability (1-j^2)^64 ≈ 1e-8 at j=0.5 — holds across every test SF)."""
+    a 100%-recall proof for the LSH stage (bands=48, rows=2: per-pair miss
+    probability (1-j^2)^48 ≈ 1e-6 at j=0.5, ~0 above — holds across every
+    test SF; 96 hashes instead of 128 cuts the signature projection cost
+    25% with no observable recall loss)."""
     from dlp_dataflow_deidentification_spark.operators import dedup
 
     pairs = dedup.minhash_dedup_pairs(
-        _docs(spark, sf_dir), num_hashes=128, bands=64, shingle_n=5, threshold=0.5
+        _docs(spark, sf_dir), num_hashes=96, bands=48, shingle_n=5, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -308,27 +310,54 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (coarse k-means quantizer trained in-engine, nprobe cell
-    scan) over the planted near-neighbor corpus. Oracle = the exact cosine
-    ranking: hash-match certifies recall@10 = 1.0 for the IVF index."""
+    """IVF-Flat ANN (coarse k-means quantizer trained in-engine on a 25%
+    hash-sample — standard bounded IVF training; only the final cell
+    assignment scans the full corpus) over the planted near-neighbor corpus.
+    Oracle = the exact cosine ranking: hash-match certifies recall@10 = 1.0
+    for the sample-trained IVF index."""
     from dlp_dataflow_deidentification_spark.operators import similarity
 
     corpus = _ann_corpus(spark, sf_dir)
     qs = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ivf_topk(corpus, qs, k=10, n_cells=8, nprobe=3, iters=2)
+    out = similarity.ivf_topk(
+        corpus, qs, k=10, n_cells=8, nprobe=3, iters=2, train_fraction=0.25
+    )
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over a PERTURBED-copy corpus: copy k of base v is
+    v + 0.05k·reverse(v) (sims ≈ 0.9988 / 0.9950 / 0.989 — straddling the
+    0.99 threshold). The oracle is exact all-pairs cosine, so the driver's
+    hash-match certifies the probed multi-table LSH recalls true NEAR
+    (not just exact) duplicates, and that the exact-cosine verify stage
+    excludes the just-below-threshold pairs."""
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dup = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    pairs = similarity.embedding_dedup_pairs(emb.unionByName(dup), threshold=0.99)
+    # F.lit(0.05)*k as a double column is bit-identical to python 0.05*k
+    # (same IEEE multiply), which the oracle injects via repr()
+    copies = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(k) for k in range(1, 4)])).alias("k"),
+        )
+        .select(
+            (F.col("vec_id") + F.lit(1000000) * F.col("k")).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.reverse("embedding"),
+                lambda a, b: a + F.lit(0.05) * F.col("k") * b,
+            ).alias("embedding"),
+        )
+    )
+    pairs = similarity.embedding_dedup_pairs(emb.unionByName(copies), threshold=0.99)
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
@@ -607,16 +636,7 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk scans only nprobe k-means cells; its oracle is the same
         # exact ranking — equality certifies IVF recall@10 = 1.0 here too
         "ivf_topk": _ann_lsh_oracle(),
-        "embedding_dedup": (
-            " WITH ecorpus AS (SELECT vec_id, embedding FROM embeddings"
-            "   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)"
-            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
-            "   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
-            "         CAST(b.embedding AS DOUBLE[])), 6) AS sim"
-            " FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id"
-            " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
-            "       CAST(b.embedding AS DOUBLE[])) >= 0.99"
-        ),
+        "embedding_dedup": _embedding_dedup_oracle(),
         "text_metrics": _text_metrics_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
         "sliding_infotype_hits": _sliding_hits_oracle(),
@@ -747,6 +767,31 @@ def _ann_lsh_oracle() -> str:
         " ranked AS (SELECT *, row_number() OVER"
         "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
         " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
+    )
+
+
+def _embedding_dedup_oracle() -> str:
+    """Exact all-pairs cosine ≥ 0.99 over the perturbed-copy corpus (mirrors
+    q_embedding_dedup: copy k of base v is v + 0.05k·reverse(v)). Equality
+    with the engine's probed multi-table LSH output certifies near-dup
+    recall at the threshold, not just exact-copy recall."""
+    copy_arms = []
+    for k in range(1, 4):
+        c = repr(0.05 * k)
+        copy_arms.append(
+            f"SELECT vec_id + {1000000 * k} AS vec_id,"
+            f" list_transform(generate_series(1, len(v)),"
+            f"   i -> v[i] + CAST({c} AS DOUBLE) * v[len(v) + 1 - i]) AS v"
+            f" FROM base WHERE vec_id % 50 = 0"
+        )
+    copies = " UNION ALL ".join(copy_arms)
+    return (
+        " WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        f" ecorpus AS (SELECT vec_id, v FROM base UNION ALL {copies})"
+        " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        "   round(list_cosine_similarity(a.v, b.v), 6) AS sim"
+        " FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
     )
 
 

@@ -78,6 +78,52 @@ def test_embedding_dedup_finds_planted_dups(spark, emb):
     assert all(v >= 0.99 for v in pairs.values())
 
 
+def test_embedding_dedup_recalls_perturbed_near_dups(spark, emb):
+    """The multi-table Hamming-1-probed LSH must recall TRUE NEAR duplicates
+    (sims ≈ 0.989-0.999, not exact copies) — the scale regime where the old
+    single-table probe-less form silently lost ~11% of real near-dups.
+    Ground truth = exact numpy all-pairs cosine at the threshold."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(k) for k in range(1, 4)])).alias("k"),
+        )
+        .select(
+            (F.col("vec_id") + F.lit(100000) * F.col("k")).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.reverse("embedding"),
+                lambda a, b: a + F.lit(0.05) * F.col("k") * b,
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(copies)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.embedding_dedup_pairs(corpus, threshold=0.99).collect()
+    }
+    rows = corpus.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b, s in zip(ids[iu[0]], ids[iu[1]], S[iu])
+        if s >= 0.99
+    }
+    assert want, "fixture must plant near-dup pairs above the threshold"
+    # at least one planted pair sits in the near (not exact) band
+    assert any(s < 0.999 for s in got.values())
+    assert set(got) == want  # 100% recall AND no sub-threshold survivors
+
+
 def test_similarity_plans_native(spark, emb, queries_df):
     plan = (
         similarity.cosine_topk(emb, queries_df, k=3)
