@@ -456,6 +456,52 @@ def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_chatlog(lines).select("conv_id", "turn_idx", "role", "text")
 
 
+# dictionary infoType over the transcript vocabulary; "expires soon" vs
+# "expires" exercises the longest-phrase-first alternation rule
+DICT_WORDS = ["purchase", "signup", "expires soon", "expires", "error"]
+
+
+def q_inspect_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-detector inspect (DLP CustomInfoType.Dictionary, rendered
+    to a word-boundary alternation — functions/infotypes.py::dictionary;
+    reference plumbing beam/DLPInspectText.java:284-338). Oracle: the same
+    rendered regex in DuckDB."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
+
+    det = dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")
+    tdf = _transcripts(spark, sf_dir)
+    return dds.inspect(
+        tdf, [det], ["text"], id_columns=["conv_id", "turn_idx"]
+    ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
+
+
+def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the reference's stateful greedy byte-packer
+    (beam/BatchRequestForDLP.java:44-106, test contract
+    BatchRequestForDLPTest.java:59-121): per-conversation turns packed into
+    ≤500-byte request batches in turn order. The DuckDB oracle reproduces
+    the greedy rule with a recursive CTE, so every (key, batch_seq, n_rows,
+    n_bytes) row is value-checked — upgrading the packer from pytest-only to
+    driver-oracle coverage."""
+    from dlp_dataflow_deidentification_spark.streaming import stateful
+
+    tdf = _transcripts(spark, sf_dir)
+    out = stateful.batched_requests(
+        tdf,
+        key_col="conv_id",
+        payload_col="text",
+        ts_col="ts",
+        max_batch_bytes=500,
+        order_col="turn_idx",
+    )
+    return out.select(
+        "key",
+        F.col("batch_seq").cast("long").alias("batch_seq"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_bytes",
+    )
+
+
 def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Findings with codepoint offsets (Arrow pandas-UDF path). The DuckDB
     oracle derives match offsets from cumulative segment/match lengths of
@@ -485,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "deid_transcripts": q_deid_transcripts,
         "inspect_findings": q_inspect_findings,
+        "inspect_dictionary": q_inspect_dictionary,
+        "dlp_batches": q_dlp_batches,
         "deid_cards": q_deid_cards,
         "crypto_roundtrip": q_crypto_roundtrip,
         "crypto_roundtrip_siv": q_crypto_roundtrip_siv,
@@ -552,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM transcripts"
         ),
         "inspect_findings": f"{t} {inspect_union}",
+        "inspect_dictionary": _inspect_dictionary_oracle(),
+        "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
         "deid_cards": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id,"
@@ -767,6 +817,47 @@ def _ann_lsh_oracle() -> str:
         " ranked AS (SELECT *, row_number() OVER"
         "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
         " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
+    )
+
+
+def _inspect_dictionary_oracle() -> str:
+    """Dictionary findings: the identical rendered alternation regex run by
+    DuckDB's RE2 (word list → longest-first \\b(?:...)\\b, same rule as
+    functions/infotypes.py::dictionary)."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
+
+    det = dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")
+    pat = det.pattern.replace("'", "''")
+    return (
+        f"{_transcripts_cte()}"
+        f" SELECT conv_id, turn_idx, 'text' AS field_id,"
+        f" '{det.name}' AS info_type_name, '{det.likelihood}' AS likelihood,"
+        f" unnest(regexp_extract_all(text, '{pat}')) AS quote FROM transcripts"
+    )
+
+
+def _dlp_batches_oracle(max_batch_bytes: int) -> str:
+    """Greedy byte-packing as a recursive CTE: scan each conversation's turns
+    in turn order; start a new batch when adding the next turn would exceed
+    the budget (an oversized single turn forms its own batch) — exactly
+    streaming/stateful.py::pack_greedy. length() counts codepoints in DuckDB,
+    matching pandas ``str.len``."""
+    b = max_batch_bytes
+    return (
+        f"WITH RECURSIVE transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),"
+        f" t AS (SELECT conv_id,"
+        f"   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,"
+        f"   length(text) AS len FROM transcripts),"
+        f" rec AS ("
+        f"   SELECT conv_id, rn, len, len AS buf, 0 AS seq FROM t WHERE rn = 1"
+        f"   UNION ALL"
+        f"   SELECT t.conv_id, t.rn, t.len,"
+        f"     CASE WHEN rec.buf + t.len > {b} THEN t.len ELSE rec.buf + t.len END,"
+        f"     CASE WHEN rec.buf + t.len > {b} THEN rec.seq + 1 ELSE rec.seq END"
+        f"   FROM rec JOIN t ON t.conv_id = rec.conv_id AND t.rn = rec.rn + 1)"
+        f" SELECT conv_id AS key, CAST(seq AS BIGINT) AS batch_seq,"
+        f" count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_bytes"
+        f" FROM rec GROUP BY conv_id, seq"
     )
 
 

@@ -99,13 +99,41 @@ def batched_requests(
     max_batch_bytes: int = 500_000,
     flush_gap_ms: int = 10_000,
     watermark: str = "10 seconds",
+    order_col: "str | None" = None,
 ) -> DataFrame:
     """Greedy byte-budget batching per key with event-time flush.
 
-    Works on a streaming DataFrame (state store + timeouts) AND degrades to a
-    batch DataFrame (single invocation per key, full flush) for oracle tests.
+    Streaming input: ``applyInPandasWithState`` (state store + watermark
+    timeout flushes the remainder). Batch input: ``applyInPandasWithState``
+    is streaming-only in Spark, so the operator degrades to a stateless
+    ``applyInPandas`` over the same ``pack_greedy`` core — one invocation
+    per key, remainder flushed as the final batch; this is the
+    oracle-testable form. ``order_col``: pack rows in this deterministic
+    order instead of arrival/partition order (required for the batch oracle;
+    in streaming it orders only within each delivered chunk — arrival order
+    across micro-batches is the semantic, as in the reference's BagState).
     Output: key, batch_seq, n_rows, n_bytes.
     """
+
+    def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        return pdf[payload_col].astype(str).str.len().fillna(0).astype("int64").to_numpy()
+
+    wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+    if not wdf.isStreaming:
+        def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = pdf[key_col].iloc[0]
+            emitted, (buf_bytes, buf_rows, next_seq) = pack_greedy(
+                _sizes(pdf), 0, 0, 0, max_batch_bytes
+            )
+            out = [(key, seq, n, b) for seq, n, b in emitted]
+            if buf_rows:  # full flush: the remainder is the final batch
+                out.append((key, next_seq, buf_rows, buf_bytes))
+            return pd.DataFrame(out, columns=["key", "batch_seq", "n_rows", "n_bytes"])
+
+        return wdf.groupBy(F.col(key_col)).applyInPandas(bfn, BATCH_OUTPUT_SCHEMA)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -122,9 +150,7 @@ def batched_requests(
             state.remove()
         else:
             for pdf in pdfs:
-                sizes = (
-                    pdf[payload_col].astype(str).str.len().fillna(0).astype("int64").to_numpy()
-                )
+                sizes = _sizes(pdf)
                 if ts_col in pdf.columns and len(pdf):
                     ms = (pdf[ts_col].astype("int64") // 1_000_000).max()
                     max_ms = max(max_ms, int(ms))
@@ -141,9 +167,7 @@ def batched_requests(
         if out:
             yield pd.DataFrame(out, columns=["key", "batch_seq", "n_rows", "n_bytes"])
 
-    wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    if wdf.isStreaming:
-        wdf = wdf.withWatermark(ts_col, watermark)
+    wdf = wdf.withWatermark(ts_col, watermark)
     return wdf.groupBy(F.col(key_col)).applyInPandasWithState(
         fn,
         BATCH_OUTPUT_SCHEMA,
