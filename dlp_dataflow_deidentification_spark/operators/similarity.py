@@ -74,6 +74,18 @@ def _plane_components(seed: int, plane: int, dim: int) -> list[float]:
     return out
 
 
+def _matrix_lit(rows: "list[list[float]]"):
+    """array<array<double>> literal rendered as ONE SQL expression string.
+    Building it as nested F.lit/F.array Columns costs one py4j round-trip
+    per element (~1.2s per 16x64 matrix, measured — the whole plan-build
+    budget); parsing one SQL literal is ~3ms. repr() round-trips doubles
+    exactly, and the 'D' suffix pins the literal type to DOUBLE."""
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11):
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_i> for n_planes
     deterministic hyperplanes (one array<array<double>> literal). Pure JVM
@@ -81,12 +93,7 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11
     higher-order aggregate — NOT unrolled into n_planes·dim codegen nodes
     (the unrolled form produced multi-second janino compiles per table)."""
     v = _as_double(vec_col)
-    planes = F.array(
-        *[
-            F.array(*[F.lit(c) for c in _plane_components(seed, p, dim)])
-            for p in range(n_planes)
-        ]
-    )
+    planes = _matrix_lit([_plane_components(seed, p, dim) for p in range(n_planes)])
     return F.aggregate(
         planes,
         F.struct(F.lit(0).alias("b"), F.lit(0).alias("p")),
@@ -182,7 +189,7 @@ def lsh_topk(
 
 
 def _centroid_lit(cents: "list[list[float]]"):
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    return _matrix_lit(cents)
 
 
 def _cell_of(vec_col, cents: "list[list[float]]"):
@@ -297,7 +304,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 16,
     n_tables: int = 4,
     dim: int = 64,
     max_bucket: int = 1000,
@@ -312,9 +319,14 @@ def embedding_dedup_pairs(
     codes differ by ≤2 bits in ANY table. Recall for a true pair at cosine s
     with per-plane agreement p = 1 - acos(s)/π is
     1 - (1 - P[Binom(n_planes, 1-p) ≤ 2])^n_tables — at the defaults
-    (12 planes, 4 tables) a 0.99-cosine pair is missed with probability
-    ~4e-8 (vs ~0.11 for the old single-table, probe-less form), and ~2e-4
-    at 0.95. Scale shape: membership rows are ids-only (id, 8-byte bucket
+    (16 planes, 4 tables) a 0.99-cosine pair is missed with probability
+    ~1e-6 (vs ~0.11 for the old single-table, probe-less form). Lower
+    thresholds want more tables: at 0.95 the defaults miss ~2e-3; raise
+    n_tables (8 → ~5e-6) rather than dropping planes — the plane count is
+    the candidate-PRECISION knob (12 planes produced ~30x more random
+    Hamming-≤2 candidate pairs than 16 on a 2k-vector corpus, and every
+    false candidate pays an exact-cosine verification).
+    Scale shape: membership rows are ids-only (id, 8-byte bucket
     key); candidate pairs dedup on (id, rid) BEFORE the double-vectors are
     re-attached — one vector-carrying join per side, never through the
     bucket explosion. Buckets larger than ``max_bucket`` are dropped (a
