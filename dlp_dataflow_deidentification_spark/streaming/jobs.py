@@ -29,6 +29,28 @@ from ..operators.skew import salted_repartition
 from ..plans.config import DeidTemplate
 from .sink import IdempotentBatchSink
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, changelog_checkpointing: bool = True) -> None:
+    """Switch stateful streaming queries to the RocksDB state store (the
+    north-star's store): window/join/state rows spill to executor-local
+    RocksDB instead of the JVM heap, so state size is bounded by disk, not
+    memory — required at 10^12-turn scale where open sessions/windows dwarf
+    any heap. ``changelog_checkpointing`` commits per-batch changelogs
+    instead of full snapshots (faster micro-batch commits; snapshots are
+    compacted in the background). Applies to queries started after this
+    call; the HDFS-backed default remains for anything already running."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER)
+    if changelog_checkpointing:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+
+
 TRANSCRIPT_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
