@@ -204,9 +204,44 @@ def conversation_assembler(
 ) -> DataFrame:
     """Per-conv_id stateful assembly: accumulate turn stats in state, emit one
     conversation record when the conversation idles past ``gap_ms`` (event-time
-    timeout) — the custom-logic upgrade of ``session_window``."""
+    timeout) — the custom-logic upgrade of ``session_window``. Batch input
+    degrades to a stateless ``applyInPandas`` (applyInPandasWithState is
+    streaming-only): all turns per key in one invocation, every gap-closed
+    session emitted including the final one."""
 
     cols = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
+
+    def _sessions(pdf: pd.DataFrame) -> "list[tuple]":
+        """Gap-split session records for one key's full turn set (ts-sorted),
+        INCLUDING the trailing open session — shared by the batch path."""
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        pii = pdf["text"].str.contains(r"\[[A-Z_]+\]", regex=True, na=False).to_numpy()
+        key = pdf["conv_id"].iloc[0]
+        out, n, npii, first_ms, last_ms = [], 0, 0, 0, 0
+        for i in range(len(pdf)):
+            if n and ms[i] - last_ms >= gap_ms:
+                out.append((key, n, npii, first_ms, last_ms))
+                n, npii, first_ms = 0, 0, 0
+            n += 1
+            npii += int(pii[i])
+            first_ms = int(ms[i]) if first_ms == 0 else first_ms
+            last_ms = max(last_ms, int(ms[i]))
+        if n:
+            out.append((key, n, npii, first_ms, last_ms))
+        return out
+
+    if not df.isStreaming:
+        def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.copy()
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            return pd.DataFrame(_sessions(pdf), columns=cols)
+
+        return (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.col("conv_id"))
+            .applyInPandas(bfn, CONV_OUTPUT_SCHEMA)
+        )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

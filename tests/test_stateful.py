@@ -110,3 +110,11 @@ def test_conversation_assembler_stream_equals_batch_sessions(spark, tmp_path):
     )
     want = {(r.conv_id, r.first_ms): r.n for r in sess.collect()}
     assert got == want and len(want) >= 30
+
+    # batch degradation (applyInPandas, full flush incl. trailing session)
+    # produces the SAME session set as the streaming state machine
+    batch_got = {
+        (r.conv_id, r.first_ms): r.n_turns
+        for r in stateful.conversation_assembler(tdf, gap_ms=300_000).collect()
+    }
+    assert batch_got == want
