@@ -267,6 +267,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS form of the exact brute-force baseline: one numpy matmul
+    per Arrow batch + per-batch top-k inside mapInPandas (only k·|Q| rows
+    per batch reach the global window). Same oracle as cosine_topk — the
+    two implementations are driver-proven value-identical."""
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_arrow(emb, qs, k=10)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
 def _ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ 9 planted near-neighbors per query vector: copy k of
     query v is v + c_k·reverse(v) with c_k = 0.02k (sims ≈ 0.9996…0.984,
@@ -545,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_arrow": q_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_dedup": q_embedding_dedup,
@@ -668,16 +684,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_oracle(
             "SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000", max_hamming=3
         ),
-        "cosine_topk": (
-            " WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
-            "            FROM embeddings WHERE vec_id % 100 = 0),"
-            " scored AS (SELECT q.query_id, e.vec_id,"
-            "   list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim"
-            "   FROM embeddings e, q),"
-            " ranked AS (SELECT *, row_number() OVER"
-            "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
-            " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
-        ),
+        "cosine_topk": _COSINE_TOPK_ORACLE,
+        # the Arrow/BLAS implementation must produce the identical ranking
+        "cosine_topk_arrow": _COSINE_TOPK_ORACLE,
         # ann_lsh_topk's oracle is the EXACT cosine ranking over the planted
         # near-neighbor corpus: equality certifies recall@10 = 1.0 for the
         # multi-table Hamming-1-probe LSH (ranks/sims of true top-10 members
@@ -708,6 +717,18 @@ def oracle_sql() -> dict[str, str]:
             f" FROM r GROUP BY conv_id, sid"
         ),
     }
+
+
+_COSINE_TOPK_ORACLE = (
+    " WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    "            FROM embeddings WHERE vec_id % 100 = 0),"
+    " scored AS (SELECT q.query_id, e.vec_id,"
+    "   list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim"
+    "   FROM embeddings e, q),"
+    " ranked AS (SELECT *, row_number() OVER"
+    "   (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)"
+    " SELECT query_id, vec_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 10"
+)
 
 
 def _metric_sql_exprs() -> dict:

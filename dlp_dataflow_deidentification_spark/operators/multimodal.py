@@ -145,6 +145,103 @@ def sample_video_frames(
     return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("payload_sha", StringType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    decoder: str = "fake",
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    embedding_dim: int = 16,
+) -> DataFrame:
+    """audio rows → per-clip feature rows via mapInPandas (Arrow batches):
+    framing arithmetic (how many ``frame_ms`` windows at ``hop_ms`` stride
+    fit the clip — the MFCC-pipeline frame count) is real and vectorized;
+    the spectral kernel itself is the honest stub (``decoder='fake'`` emits
+    a deterministic payload-derived embedding; anything else raises where
+    torchaudio/librosa would run)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder != "fake":
+                raise NotImplementedError(
+                    f"decoder {decoder!r}: audio codecs are not available "
+                    "here; only the deterministic 'fake' decoder runs"
+                )
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            n_frames = np.where(
+                dur >= frame_ms, (dur - frame_ms) // hop_ms + 1, 0
+            ).astype("int32")
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": dur.astype("int32"),
+                    "n_frames": n_frames,
+                    "embedding": [
+                        _fake_embedding(p, embedding_dim).tolist() for p in payloads
+                    ],
+                    "payload_sha": [
+                        hashlib.sha256(p or b"").hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """image rows → fixed-size rows (the training-pipeline resize stage).
+    Fake decoder emits a deterministic width*height-proportional slice/tile
+    of the payload so output size tracks the target dims; real resizing
+    would be PIL's C kernel in the same mapInPandas slot."""
+    target = max(int(width) * int(height) // 64, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder != "fake":
+                raise NotImplementedError(
+                    f"decoder {decoder!r}: PIL is not available here; "
+                    "only the deterministic 'fake' resizer runs"
+                )
+            out_payloads = []
+            for p in pdf["payload"]:
+                p = bytes(p or b"")
+                tiled = (p * (target // max(len(p), 1) + 1))[:target]
+                out_payloads.append(tiled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "payload": out_payloads,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table for tests (binary payloads derived from
     the row id — no external data)."""
@@ -160,7 +257,7 @@ def synthesize_media(spark, n: int = 100) -> DataFrame:
                 bytearray(payload),
                 64 + i % 32 if kind == "image" else None,
                 48 + i % 16 if kind == "image" else None,
-                (i % 7 + 1) * 1500 if kind == "video" else None,
+                (i % 7 + 1) * 1500 if kind in ("video", "audio") else None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

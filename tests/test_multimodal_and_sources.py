@@ -59,6 +59,39 @@ def test_real_decoder_raises_not_implemented(spark):
     )
 
 
+def test_audio_features_frame_math_and_determinism(spark):
+    media = mm.synthesize_media(spark, 30)
+    out = {r.media_id: r for r in mm.extract_audio_features(media, frame_ms=25, hop_ms=10).collect()}
+    src = {r.media_id: r for r in media.filter("kind='audio'").collect()}
+    assert set(out) == set(src) and out
+    for mid, r in out.items():
+        dur = src[mid].duration_ms
+        # MFCC-style framing: windows of 25ms at 10ms hop
+        assert r.n_frames == (dur - 25) // 10 + 1
+        assert r.duration_ms == dur
+        assert len(r.embedding) == 16
+        import hashlib as H
+
+        assert r.payload_sha == H.sha256(bytes(src[mid].payload)).hexdigest()
+    # deterministic across runs
+    again = {r.media_id: r.embedding for r in mm.extract_audio_features(media).collect()}
+    assert {m: r.embedding for m, r in out.items()} == again
+
+
+def test_resize_images_tracks_target_dims(spark):
+    media = mm.synthesize_media(spark, 30)
+    small = {r.media_id: r for r in mm.resize_images(media, 32, 32).collect()}
+    big = {r.media_id: r for r in mm.resize_images(media, 128, 128).collect()}
+    src_ids = {r.media_id for r in media.filter("kind='image'").collect()}
+    assert set(small) == src_ids == set(big) and src_ids
+    for mid in src_ids:
+        assert (small[mid].width, small[mid].height) == (32, 32)
+        # fake payload size is proportional to target area (real schema/shape)
+        assert len(big[mid].payload) > len(small[mid].payload)
+    with pytest.raises(Exception):
+        mm.resize_images(media, 32, 32, decoder="pil").collect()
+
+
 # -- file sources ------------------------------------------------------------
 
 

@@ -44,6 +44,20 @@ def test_brute_force_topk_matches_numpy(spark, emb, queries_df):
         assert r.vec_id == qid and abs(r.sim - 1.0) < 1e-9
 
 
+def test_cosine_topk_arrow_equals_native(spark, emb, queries_df):
+    """The Arrow/BLAS matmul path returns the identical ranking (and sims to
+    float tolerance) as the native higher-order-function path."""
+    nat = similarity.cosine_topk(emb, queries_df, k=7).collect()
+    arr = similarity.cosine_topk_arrow(emb, queries_df, k=7).collect()
+    nat_m = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in nat}
+    arr_m = {(r.query_id, r.rank): (r.vec_id, r.sim) for r in arr}
+    assert set(nat_m) == set(arr_m) and nat_m
+    for key, (vid, sim) in nat_m.items():
+        avid, asim = arr_m[key]
+        assert avid == vid
+        assert abs(asim - sim) < 1e-9
+
+
 def test_lsh_topk_recall(spark, emb, queries_df):
     k = 5
     exact = similarity.cosine_topk(emb, queries_df, k=k).collect()
