@@ -490,6 +490,27 @@ def q_inspect_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
 
 
+def q_inspect_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InspectConfig fidelity as a value-checked query: minLikelihood=LIKELY
+    prunes the POSSIBLE dictionary detector at plan time, and
+    maxFindingsPerItem=2 keeps only the first two findings per row in
+    (column, detector-config-order, match-position) order — the DuckDB
+    oracle reproduces the same concat+slice (inspect-template.json:8-32,
+    beam/DLPInspectText.java:269-270,306-309)."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
+
+    dets = [dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")] + TRANSCRIPT_DETECTORS
+    tdf = _transcripts(spark, sf_dir)
+    return dds.inspect(
+        tdf,
+        dets,
+        ["text"],
+        id_columns=["conv_id", "turn_idx"],
+        min_likelihood="LIKELY",
+        max_findings_per_item=2,
+    ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
+
+
 def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the reference's stateful greedy byte-packer
     (beam/BatchRequestForDLP.java:44-106, test contract
@@ -547,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_transcripts": q_deid_transcripts,
         "inspect_findings": q_inspect_findings,
         "inspect_dictionary": q_inspect_dictionary,
+        "inspect_limits": q_inspect_limits,
         "dlp_batches": q_dlp_batches,
         "deid_cards": q_deid_cards,
         "crypto_roundtrip": q_crypto_roundtrip,
@@ -617,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "inspect_findings": f"{t} {inspect_union}",
         "inspect_dictionary": _inspect_dictionary_oracle(),
+        "inspect_limits": _inspect_limits_oracle(max_per_item=2),
         "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
         "deid_cards": (
@@ -854,6 +877,35 @@ def _inspect_dictionary_oracle() -> str:
         f" SELECT conv_id, turn_idx, 'text' AS field_id,"
         f" '{det.name}' AS info_type_name, '{det.likelihood}' AS likelihood,"
         f" unnest(regexp_extract_all(text, '{pat}')) AS quote FROM transcripts"
+    )
+
+
+def _inspect_limits_oracle(max_per_item: int) -> str:
+    """Per-row findings list = concat over detectors (config order) of the
+    tagged match lists, sliced to the first ``max_per_item`` — DuckDB's
+    list_concat/list_slice mirror the engine's flatten+slice exactly.
+    minLikelihood=LIKELY already pruned the POSSIBLE dictionary detector,
+    so only TRANSCRIPT_DETECTORS appear."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    arms = []
+    for name in TRANSCRIPT_DETECTORS:
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        arms.append(
+            f"list_transform(regexp_extract_all(text, '{pat}'),"
+            f" q -> {{'field_id': 'text', 'info_type_name': '{it.name}',"
+            f" 'likelihood': '{it.likelihood}', 'quote': q}})"
+        )
+    concat = " || ".join(arms)
+    return (
+        f"{_transcripts_cte()},"
+        f" f AS (SELECT conv_id, turn_idx,"
+        f"   list_slice({concat}, 1, {max_per_item}) AS fs FROM transcripts),"
+        f" u AS (SELECT conv_id, turn_idx, unnest(fs) AS x FROM f)"
+        f" SELECT conv_id, turn_idx, x.field_id AS field_id,"
+        f" x.info_type_name AS info_type_name, x.likelihood AS likelihood,"
+        f" x.quote AS quote FROM u"
     )
 
 

@@ -54,3 +54,28 @@ def test_no_lookarounds_or_backrefs_in_registry():
     for it in list(infotypes.BUILTIN_INFOTYPES.values()) + [infotypes.ONLINE_USER_ID]:
         assert "(?=" not in it.pattern and "(?<" not in it.pattern and "(?!" not in it.pattern
         assert not re.search(r"\\[1-9]", it.pattern)
+
+
+def test_dictionary_words_with_regex_metacharacters_match_literally(spark):
+    """Dictionary words are user data, not regex: metacharacters must match
+    literally and identically in Spark, Python re, and DuckDB RE2."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    words = ["a.b", "c+d", "x(y)z", "price $5", "q*r"]
+    det = infotypes.dictionary("META", words)
+    text = "saw a.b and aXb plus c+d, x(y)z, price $5, q*r end"
+    want = sorted(["a.b", "c+d", "x(y)z", "price $5", "q*r"])
+
+    got_py = sorted(det.compiled().findall(text))
+    got_spark = sorted(
+        spark.createDataFrame([(text,)], "t string")
+        .select(F.regexp_extract_all("t", F.lit(det.pattern), F.lit(0)).alias("m"))
+        .collect()[0][0]
+    )
+    pat = det.pattern.replace("'", "''")
+    got_duck = sorted(
+        duckdb.connect().execute(f"SELECT regexp_extract_all('{text}', '{pat}')").fetchone()[0]
+    )
+    assert got_py == got_spark == got_duck == want
+    assert "aXb" not in got_py  # '.' is literal, not any-char
