@@ -95,3 +95,25 @@ def session_window_stats(
             "n_tool",
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    key_cols: "Sequence[str]" = ("conv_id", "turn_idx"),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once record dedup ACROSS micro-batches: native
+    ``dropDuplicatesWithinWatermark`` keyed on ``key_cols`` — redelivered or
+    replayed rows whose key was already seen inside the watermark horizon
+    are dropped by the state store, and state for keys older than the
+    watermark is evicted (bounded state at 10^12-turn scale; the reference's
+    redelivery dedup is the keep-one combiner + insertId,
+    common/ResolveDuplicatesCombineFn.java:21-43). Batch input degrades to
+    plain dropDuplicates for equality tests."""
+    wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not wdf.isStreaming:
+        return wdf.dropDuplicates(list(key_cols))
+    return wdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -307,3 +307,41 @@ def test_pubsub_message_converter_payload(spark):
     assert j.loads(rows["tbl_b"].value) == {"conv_id": "c2", "turn_idx": 1}
     h = rows["tbl_a"].headers
     assert [(x.key, bytes(x.value).decode()) for x in h] == [("table_name", "tbl_a")]
+
+
+def test_streaming_exact_dedup_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: the same turns delivered twice
+    (two input files with overlapping rows) commit exactly once, equal to
+    batch dropDuplicates over the union."""
+    from dlp_dataflow_deidentification_spark.streaming import windows as W
+
+    rows = [
+        (f"conv-{i % 5}", i, "agent", f"turn {i}", "N/A", f"2026-01-01 00:{i % 60:02d}:00")
+        for i in range(100)
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    d = str(tmp_path / "dedup_in")
+    df1 = spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    df2 = spark.createDataFrame(rows[40:], schema).withColumn(  # redelivery overlap
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df1.coalesce(1).write.mode("append").parquet(d)
+    df2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d)
+    out = W.streaming_exact_dedup(stream, ("conv_id", "turn_idx"), watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sded_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sded").groupBy("conv_id", "turn_idx").count()
+    assert got.filter("count > 1").count() == 0
+    assert got.count() == 100  # every unique turn survives exactly once
+    # batch degradation equality
+    both = df1.unionByName(df2)
+    assert W.streaming_exact_dedup(both).count() == 100
