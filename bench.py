@@ -58,6 +58,10 @@ def run_queries(spark) -> dict[str, float]:
         # noop sink: full execution, no driver-side materialization cost
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # dedup/similarity operators persist() intermediates (lineage-kept
+        # caches); drop them between queries so one query's cache does not
+        # occupy memory during the next one's measurement
+        spark.catalog.clearCache()
     return timings
 
 

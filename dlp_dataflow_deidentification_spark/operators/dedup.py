@@ -230,26 +230,38 @@ def _spread(df: DataFrame) -> DataFrame:
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
         max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
-        if max_pb > 0 and est_bytes // max_pb >= want:
+        # Catalyst reports Long.MaxValue-scale sentinels when stats are
+        # UNKNOWN (LogicalRDD, JDBC, statless hive tables) — that means
+        # "can't tell", not "huge": fall through to the partition-count
+        # check rather than skipping the widen on a 1-partition input.
+        if 0 < est_bytes < (1 << 60) and max_pb > 0 and est_bytes // max_pb >= want:
             return df  # wide enough already: don't shuffle the corpus text
+        if est_bytes >= (1 << 60) and df.rdd.getNumPartitions() >= want:
+            return df  # unknown size but already well-split
     except Exception:
         pass  # stats unavailable: fall through to the safe small-input path
     return df.repartition(want)
 
 
-def _pairs_from_buckets(member_df: DataFrame, bucket_col: str, max_bucket: int) -> DataFrame:
+def _pairs_from_buckets(
+    member_df: DataFrame, bucket_col: str, max_bucket: "int | None"
+) -> DataFrame:
     """(id, bucket) membership rows → distinct candidate pairs (id < rid)
-    within each bucket, buckets capped at ``max_bucket`` members.
+    within each bucket, buckets capped at ``max_bucket`` members
+    (``None`` = uncapped: every co-bucketed pair is a candidate).
 
     Two-stage explode keeps per-row memory O(bucket), not O(bucket²): a
     single flatten-of-all-combinations materializes C(n,2) structs as ONE
     array before its explode — a 7.7k-member bucket is a ~240 MB humongous
     allocation per task (measured OOM at 48 GB heap on a hot-bucket corpus).
-    Here each (anchor, tail-slice) row carries at most ``max_bucket`` ids."""
+    Here each (anchor, tail-slice) row carries at most one bucket's ids."""
+    keep = F.size("ids") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("ids") <= max_bucket)
     buckets = (
         member_df.groupBy(bucket_col)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(keep)
     )
     anchored = buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "id"))
     return (
@@ -369,7 +381,7 @@ def ngram_jaccard_pairs(
     # df cap ≡ bucket-size cap: a shingle's inverted-index bucket has one
     # entry per containing doc, so dropping buckets > max_df IS the
     # document-frequency filter — fused into candidate generation
-    cands = _pairs_from_buckets(inv, "g", max_df if max_df is not None else 2**31 - 1)
+    cands = _pairs_from_buckets(inv, "g", max_df)
     return _exact_jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -464,7 +476,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
-    max_bucket: int = 1000,
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole: split
     the hash into 4 chunks — any pair within distance 3 agrees on ≥1 chunk.
@@ -476,10 +488,16 @@ def simhash_pairs(
     and the two 64-bit fingerprints are re-attached ONCE per surviving pair
     (the earlier chunk self-join shipped both fingerprints through a 4x
     chunk-duplicated join — measured 783 s on a 500k-doc 100x-duplicated
-    stress corpus; this form bounds the same stress at the candidate set's
-    true size). ``max_bucket`` drops degenerate chunk buckets (> max_bucket
-    docs sharing 15-16 fingerprint bits ≈ boilerplate); a dropped bucket's
-    true pairs are still found via any of their other 3 chunks."""
+    stress corpus; this form runs the same stress in ~half that, memory-flat).
+
+    ``max_bucket`` is OFF by default because pigeonhole guarantees only ≥1
+    agreeing chunk: a pair whose 3 differing bits land in 3 distinct chunks
+    agrees on exactly ONE chunk, and dropping that one bucket would lose the
+    pair — unlike the minhash df-cap, there is no second chance. Exact
+    output (matching the all-pairs oracle) therefore requires no cap; set
+    ``max_bucket`` only as an explicit precision/cost trade on corpora with
+    pathological fingerprint bit-bias (a >max_bucket chunk bucket then
+    costs O(bucket²) candidate pairs, all exactly verified)."""
     n_bits = 60 if portable else 64
     width = n_bits // 4
     # cached once (lineage kept): feeds both candidate generation and the

@@ -77,6 +77,16 @@ def cosine_topk_arrow(
     ``cosine_topk`` (ties broken by vec_id); at scale this swaps the
     per-element interpreted higher-order dot product for BLAS — the right
     brute-force baseline when embeddings are wide or the corpus is huge.
+
+    Edge-case contract: zero-norm corpus vectors score sim=0.0 here (a
+    defined value); the native/HOF path's cosine is NaN for them (undefined,
+    and Spark's desc sort ranks NaN first). Filter zero vectors out before
+    calling either path if your corpus can contain them. Ties are broken by
+    vec_id among rows with EQUAL computed sims — but BLAS blocking gives
+    remainder rows position-dependent last-ulp results, so EXACT-duplicate
+    corpus vectors can rank among themselves differently from the
+    per-row-deterministic native path; dedup exact copies first if that
+    distinction matters.
     """
     import numpy as np
     import pandas as pd
@@ -105,9 +115,18 @@ def cosine_topk_arrow(
             out_q, out_id, out_sim = [], [], []
             for j in range(len(q_ids)):
                 col = S[:, j]
-                # top-k with the native path's tie rule (sim desc, vec_id asc)
-                part = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                order = part[np.lexsort((ids[part], -col[part]))]
+                # top-k with the native path's tie rule (sim desc, vec_id
+                # asc). argpartition alone keeps an ARBITRARY subset of
+                # values tied at the k-boundary, so include every row >= the
+                # k-th value before the exact lexsort — otherwise a
+                # duplicate-sim low-id vector can be dropped in favor of a
+                # higher id, diverging from cosine_topk and the oracle.
+                if kk < len(ids):
+                    part = np.argpartition(-col, kk - 1)[:kk]
+                    cand = np.flatnonzero(col >= col[part].min())
+                else:
+                    cand = np.arange(len(ids))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
                 out_q.extend([q_ids[j]] * len(order))
                 out_id.extend(ids[order])
                 out_sim.extend(col[order])

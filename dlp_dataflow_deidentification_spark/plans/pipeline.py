@@ -132,6 +132,10 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None
     # reid spec that both omit crypto_mode round-trip (both SIV, the template
     # compiler's default). ECB-decrypting an SIV token can "succeed" and emit
     # garbage, so asymmetric defaults would corrupt silently.
+    # MIGRATION NOTE: token stores minted by an explicit crypto_mode="ecb"
+    # deid spec must pass crypto_mode="ecb" on the reid side too — the reid
+    # default is now "siv", and SIV-decrypting ECB tokens fails per token
+    # (strict) or NULLs/dead-letters every row (tolerant).
     crypto_mode = spec.get("crypto_mode", "siv")
     if mode == "deid":
         out = deidentify(

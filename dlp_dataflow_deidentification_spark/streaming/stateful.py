@@ -211,31 +211,43 @@ def conversation_assembler(
 
     cols = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
 
-    def _sessions(pdf: pd.DataFrame) -> "list[tuple]":
-        """Gap-split session records for one key's full turn set (ts-sorted),
-        INCLUDING the trailing open session — shared by the batch path."""
+    def _sessions(
+        pdf: pd.DataFrame,
+        key,
+        n: int = 0,
+        npii: int = 0,
+        first_ms: int = 0,
+        last_ms: int = 0,
+    ):
+        """ONE gap-split loop shared by the batch and streaming paths:
+        fold ts-sorted turns into the carried (n, npii, first_ms, last_ms)
+        open-session state, emitting a record at every gap. Returns
+        (closed_records, open_session_state). ``n == 1`` (not a falsy
+        first_ms) marks a session's first turn, so epoch-0 timestamps are
+        handled correctly."""
         pdf = pdf.sort_values("ts", kind="mergesort")
         ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
         pii = pdf["text"].str.contains(r"\[[A-Z_]+\]", regex=True, na=False).to_numpy()
-        key = pdf["conv_id"].iloc[0]
-        out, n, npii, first_ms, last_ms = [], 0, 0, 0, 0
+        out = []
         for i in range(len(pdf)):
             if n and ms[i] - last_ms >= gap_ms:
                 out.append((key, n, npii, first_ms, last_ms))
-                n, npii, first_ms = 0, 0, 0
+                n, npii = 0, 0
             n += 1
             npii += int(pii[i])
-            first_ms = int(ms[i]) if first_ms == 0 else first_ms
+            if n == 1:
+                first_ms = int(ms[i])
             last_ms = max(last_ms, int(ms[i]))
-        if n:
-            out.append((key, n, npii, first_ms, last_ms))
-        return out
+        return out, (n, npii, first_ms, last_ms)
 
     if not df.isStreaming:
         def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.copy()
             pdf["ts"] = pd.to_datetime(pdf["ts"])
-            return pd.DataFrame(_sessions(pdf), columns=cols)
+            out, (n, npii, first_ms, last_ms) = _sessions(pdf, pdf["conv_id"].iloc[0])
+            if n:  # full flush: the trailing open session is the last record
+                out.append((pdf["conv_id"].iloc[0], n, npii, first_ms, last_ms))
+            return pd.DataFrame(out, columns=cols)
 
         return (
             df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -257,19 +269,10 @@ def conversation_assembler(
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values("ts", kind="mergesort")
-        ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
-        pii = batch["text"].str.contains(r"\[[A-Z_]+\]", regex=True, na=False).to_numpy()
-
-        out = []
-        for i in range(len(batch)):
-            if n and ms[i] - last_ms >= gap_ms:
-                out.append((key[0], n, npii, first_ms, last_ms))  # gap → close session
-                n, npii, first_ms = 0, 0, 0
-            n += 1
-            npii += int(pii[i])
-            first_ms = int(ms[i]) if first_ms == 0 else first_ms
-            last_ms = max(last_ms, int(ms[i]))
+        # same loop as the batch path (_sessions), seeded with carried state
+        out, (n, npii, first_ms, last_ms) = _sessions(
+            batch, key[0], n, npii, first_ms, last_ms
+        )
         state.update((n, npii, first_ms, last_ms))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         if out:

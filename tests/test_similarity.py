@@ -189,3 +189,29 @@ def test_ivf_topk_recall_and_native_plan(spark, sf_dir):
     assert r5 >= max(r3, 0.8), (r3, r5)
     plan = S.ivf_topk(emb, qs, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_cosine_topk_arrow_boundary_ties_keep_lowest_ids(spark):
+    """25 identical corpus vectors force a mass sim tie at the k boundary:
+    the k=10 result must be EXACTLY the 10-prefix of the full k=25 ranking
+    (sim desc, vec_id asc). A bare argpartition keeps an arbitrary subset of
+    the tied values, breaking this prefix property. (Expectations are framed
+    against the operator's own full ranking because BLAS gives remainder
+    rows position-dependent last-ulp sims — even identical input vectors.)"""
+    v = [float(i + 1) for i in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i in range(100, 125)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    qs = spark.createDataFrame([(0, v)], "query_id long, embedding array<double>")
+    full = similarity.cosine_topk_arrow(corpus, qs, k=25).collect()
+    want = [r.vec_id for r in sorted(full, key=lambda r: r.rank)][:10]
+    out = similarity.cosine_topk_arrow(corpus, qs, k=10).collect()
+    got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == want
+    # within an equal-sim group the ranking is by ascending vec_id
+    by_sim = {}
+    for r in full:
+        by_sim.setdefault(r.sim, []).append((r.rank, r.vec_id))
+    for rows in by_sim.values():
+        ids_in_rank_order = [v for _, v in sorted(rows)]
+        assert ids_in_rank_order == sorted(ids_in_rank_order)
