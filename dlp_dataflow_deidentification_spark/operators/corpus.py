@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..plans.config import DeidTemplate
-from .dedup import exact_dedup, minhash_lsh_pairs
+from .dedup import exact_dedup, minhash_dedup_pairs
 from .deidentify import deidentify
 
 
@@ -54,7 +54,10 @@ def curate(
     kept = kept.join(winners, id_col, "left_semi")
 
     if near_dup_threshold is not None:
-        pairs = minhash_lsh_pairs(
+        # production dedup shape (LSH candidates + EXACT Jaccard verify):
+        # near_dup_threshold is a true Jaccard floor, not the signature
+        # estimator minhash_lsh_pairs would give
+        pairs = minhash_dedup_pairs(
             kept, text_col, id_col, threshold=near_dup_threshold
         )
         # drop the larger id of each near-dup pair (transitive chains resolve

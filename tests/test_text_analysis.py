@@ -62,3 +62,36 @@ def test_all_native_plans(spark):
         T.fingerprint(F.col("v")),
     )
     assert "Python" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curate_near_dup_stage_drops_larger_ids(spark, sf_dir):
+    """near_dup_threshold engages the exact-verify minhash dedup: planted
+    near-dups (one appended token) lose their larger id; the survivor set
+    keeps exactly one doc per near-dup group."""
+    from pyspark.sql import functions as F
+
+    from dlp_dataflow_deidentification_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup marker")).alias("text"),
+    )
+    both = docs.unionByName(dups)
+    out = corpus.curate(
+        both, min_quality=0.0, min_tokens=1, languages=("en", "und"),
+        near_dup_threshold=0.5,
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    planted = {r.doc_id for r in dups.select("doc_id").collect()}
+    # every planted +100000 near-dup has a smaller-id twin, so none survive
+    assert not (ids & planted)
+    # the real postcondition: the survivor set is near-dup-free (any pair's
+    # larger member was dropped; survivors ⊆ kept so no new pairs appear)
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    survivors = both.join(out.select("doc_id"), "doc_id", "left_semi")
+    assert (
+        dedup.minhash_dedup_pairs(survivors, threshold=0.5).count() == 0
+    )
+    assert ids  # and the pass did not wipe the corpus
