@@ -558,6 +558,32 @@ def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEID → stateful conversation assembly (batch form of the
+    applyInPandasWithState session machine, streaming/stateful.py::
+    conversation_assembler; stream≡batch pinned by
+    test_conversation_assembler_stream_equals_batch_sessions): per-session
+    turn counts, PII-marker turn counts ([INFO_TYPE] tokens minted by the
+    deid stage), and first/last event-time ms. Oracle = the same gap split
+    (close when gap >= 30 min) as a SQL window recursion over the
+    deidentified text."""
+    from dlp_dataflow_deidentification_spark.streaming import stateful
+
+    tdf = _transcripts(spark, sf_dir)
+    template = dds.DeidTemplate.from_file(
+        os.path.join(HERE, "configs/deid_transcripts.json"), crypto_key=KEY
+    )
+    deid = dds.deidentify(tdf, template)
+    out = stateful.conversation_assembler(deid, gap_ms=1_800_000)
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_pii_turns").cast("long").alias("n_pii_turns"),
+        "first_ms",
+        "last_ms",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -588,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "text_metrics": q_text_metrics,
         "session_windows": q_session_windows,
+        "conv_sessions": q_conv_sessions,
         "chatlog_roundtrip": q_chatlog_roundtrip,
         "inspect_offsets": q_inspect_offsets,
         "corpus_curate": q_corpus_curate,
@@ -727,6 +754,19 @@ def oracle_sql() -> dict[str, str]:
             f" ELSE substr(conv_id, 6, 10) END AS conv_id,"
             f" CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,"
             f" role, text FROM transcripts WHERE role IN ('agent', 'customer')"
+        ),
+        "conv_sessions": (
+            f"{t},"
+            f" d AS (SELECT conv_id, turn_idx, ts, {deid_text} AS text FROM transcripts),"
+            f" e AS (SELECT conv_id, text, ts, epoch_ms(ts) AS ms FROM d),"
+            f" l AS (SELECT *, lag(ms) OVER (PARTITION BY conv_id ORDER BY ts) AS pms FROM e),"
+            f" s AS (SELECT *, CASE WHEN pms IS NULL OR ms - pms < 1800000 THEN 0 ELSE 1 END AS new_s FROM l),"
+            f" r AS (SELECT *, SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts"
+            f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)"
+            f" SELECT conv_id, count(*) AS n_turns,"
+            f" CAST(SUM(CASE WHEN regexp_matches(text, '\\[[A-Z_]+\\]') THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_turns,"
+            f" min(ms) AS first_ms, max(ms) AS last_ms"
+            f" FROM r GROUP BY conv_id, sid"
         ),
         "session_windows": (
             f"{t}, e AS (SELECT conv_id, role, turn_idx, ts, epoch_us(ts) AS us FROM transcripts),"
