@@ -25,6 +25,12 @@ own schema:
 * each key's rows commit through its own IdempotentBatchSink under the SAME
   batch id, so replays stay exactly-once per destination.
 
+Input contract (standard Spark file-source semantics): files must be placed
+ATOMICALLY (write elsewhere + rename into the directory). A zero-byte
+placeholder later filled in-place is marked consumed by the source catalog
+at discovery and its later content is never re-read — as with every Spark
+file stream.
+
 Scale shape: the per-batch driver work is one ``collect()`` of distinct file
 NAMES (bounded by maxFilesPerTrigger, never row data); row data flows
 executor-side through the native CSV scan → parquet write.

@@ -27,7 +27,11 @@ def sanitize_key(name: str) -> str:
     must not start with a digit (BigQuery rules the reference enforces in
     SanitizeFileNameDoFn.java:52-66 / Util.java:153-160)."""
     base = name.rsplit("/", 1)[-1]
-    stem = base.rsplit(".", 1)[0] if "." in base else base
+    # strip only a purely-alphanumeric extension — EXACTLY the rule of the
+    # column form (_sanitize_col), so read_files' source_key and
+    # sanitize_key-based routing (dynamic.py/notifications.py) agree on the
+    # table key for every filename
+    stem = re.sub(r"\.[A-Za-z0-9]+$", "", base)
     key = re.sub(r"[^a-zA-Z0-9_]", "_", stem)
     return ("_" + key) if re.match(r"^[0-9]", key) else key
 
@@ -71,6 +75,12 @@ def read_files(
                 " ".join(f"{h} string," for h in headers).rstrip(",")
             ).csv(path)
         else:
+            if streaming and schema is None:
+                raise ValueError(
+                    "streaming CSV needs an explicit schema: pass headers=[...] "
+                    "or schema=...; for per-file dynamic schemas use "
+                    "sources.dynamic.DynamicSchemaCsvStream"
+                )
             df = reader.options(**opts, header="true").csv(path) if not streaming else (
                 reader.options(**opts, header="true").schema(schema).csv(path)
             )
@@ -103,7 +113,11 @@ def write_text_lines(df: DataFrame, path: str, delimiter: str = ",") -> None:
     present (ConvertTableRowToString + WriteToGCS analogue,
     common/WriteToGCS.java:66-139)."""
     cols = [c for c in df.columns if c != SOURCE_KEY_COL]
-    line = F.concat_ws(delimiter, *[F.col(c).cast("string") for c in cols])
+    # concat_ws SKIPS null args (fields would shift position); coalesce each
+    # cell to "" so null cells emit an empty field like the reference's CSV
+    line = F.concat_ws(
+        delimiter, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
     if SOURCE_KEY_COL in df.columns:
         df.select(line.alias("value"), F.col(SOURCE_KEY_COL)).write.partitionBy(
             SOURCE_KEY_COL

@@ -114,8 +114,14 @@ def synthesize_transcripts(
     )
     # event time: interleaved across conversations, ~1 turn/second globally,
     # with a deterministic 5% out-of-order jitter to exercise watermarks.
+    # Offset split into DAY + SECOND components so the int32 quantity that
+    # timestamp_add requires never overflows (a flat second offset caps the
+    # generator at ~2^31 turns; day-count overflow needs 2^31 days).
     jitter = F.when(i % 20 == 0, F.lit(-30)).otherwise(F.lit(0))
-    ts = F.timestamp_add("SECOND", (i + jitter).cast("int"), F.lit(start_ts).cast("timestamp"))
+    day_base = F.timestamp_add(
+        "DAY", (i / F.lit(86400)).cast("int"), F.lit(start_ts).cast("timestamp")
+    )
+    ts = F.timestamp_add("SECOND", (F.pmod(i, F.lit(86400)) + jitter).cast("int"), day_base)
     df = rng.select(
         conv_id.alias("conv_id"),
         i.alias("_gid"),

@@ -64,7 +64,16 @@ def publish_stream(
 
     Requires the spark-sql-kafka connector on the classpath
     (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>``).
-    ``kafka.max.request.size`` mirrors the reference's 10 kB batch-bytes cap.
+
+    Batch-cap mapping (the semantics differ from PubSub's knobs):
+    ``kafka.batch.size`` is a per-partition batch BYTE budget — the direct
+    analogue of the reference's 10 kB maxBatchBytesSize — with a small
+    ``linger.ms`` so batches actually fill. The reference's 1000-message
+    count cap has no Kafka producer equivalent; the byte budget bounds the
+    batch instead. ``max.request.size`` is deliberately LEFT AT DEFAULT
+    (~1 MB): it caps a single produce request, and shrinking it to the
+    batch budget would make any row larger than 10 kB fail the whole query
+    with RecordTooLargeException instead of being batched alone.
     """
     msgs = to_messages(df, table_name_col)
     writer = (
@@ -72,8 +81,8 @@ def publish_stream(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("includeHeaders", "true")
-        .option("kafka.max.request.size", str(PUB_SUB_BATCH_SIZE_BYTES))
-        .option("kafka.batch.size", str(PUB_SUB_BATCH_SIZE))
+        .option("kafka.batch.size", str(PUB_SUB_BATCH_SIZE_BYTES))
+        .option("kafka.linger.ms", "5")
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,8 +67,6 @@ class IdempotentBatchSink:
     # each batch directory by this column so every source key gets its own
     # sub-table, while the batchId ledger still governs exactly-once
     partition_col: str | None = None
-    # in-memory mirror of committed ids (the ledger on disk is authoritative)
-    _committed: set = field(default_factory=set)
 
     @property
     def data_dir(self) -> str:
@@ -126,7 +124,6 @@ class IdempotentBatchSink:
         with open(tmp, "w") as f:
             json.dump(entry, f)
         os.rename(tmp, os.path.join(self.ledger_dir, f"{batch_id}.json"))  # atomic commit point
-        self._committed.add(batch_id)
 
     # -- read side ---------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:

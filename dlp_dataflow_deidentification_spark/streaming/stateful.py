@@ -118,7 +118,9 @@ def batched_requests(
     def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
         if order_col is not None:
             pdf = pdf.sort_values(order_col, kind="mergesort")
-        return pdf[payload_col].astype(str).str.len().fillna(0).astype("int64").to_numpy()
+        # fillna BEFORE astype(str): astype would turn None into the literal
+        # 4-char string "None", charging null payloads 4 bytes
+        return pdf[payload_col].fillna("").astype(str).str.len().astype("int64").to_numpy()
 
     wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
@@ -235,8 +237,9 @@ def conversation_assembler(
                 n, npii = 0, 0
             n += 1
             npii += int(pii[i])
-            if n == 1:
-                first_ms = int(ms[i])
+            # min() (not just the n==1 row): a late within-watermark row in a
+            # LATER micro-batch can precede the carried session's start
+            first_ms = int(ms[i]) if n == 1 else min(first_ms, int(ms[i]))
             last_ms = max(last_ms, int(ms[i]))
         return out, (n, npii, first_ms, last_ms)
 

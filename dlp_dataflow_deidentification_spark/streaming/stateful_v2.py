@@ -28,14 +28,16 @@ from pyspark.sql.types import StructType
 CONV_STATS_SCHEMA = "conv_id string, n_turns long, n_pii_turns long, first_ms long, last_ms long"
 _STATE_SCHEMA = "n long, npii long, first_ms long, last_ms long"
 
-ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
+# canonical constant lives with the streaming jobs; re-exported for callers
+from .jobs import ROCKSDB_STATE_PROVIDER as ROCKSDB_PROVIDER  # noqa: E402
 
 
 class ConversationStatsProcessor(StatefulProcessor):
-    """Per-conv_id accumulation in a typed ValueState; an event-time timer at
-    last_ms + gap emits the assembled conversation record and clears state."""
+    """Per-conv_id session assembly in a typed ValueState: rows are
+    gap-split ON ARRIVAL (same loop as stateful.py's _sessions — a session
+    that closed mid-batch is emitted immediately, not merged into the next
+    one), and an event-time timer at last_ms + gap emits the trailing open
+    session once the conversation idles."""
 
     def __init__(self, gap_ms: int = 1_800_000):
         self.gap_ms = gap_ms
@@ -50,15 +52,27 @@ class ConversationStatsProcessor(StatefulProcessor):
         n, npii, first_ms, last_ms = (
             tuple(self.state.get()) if self.state.exists() else (0, 0, 0, 0)
         )
-        for pdf in rows:
-            ms = pdf["ts"].astype("int64") // 1_000_000
-            n += len(pdf)
-            npii += int(
-                pdf["text"].str.contains(r"\[[A-Z_]+\]", regex=True, na=False).sum()
+        pdfs = [pdf for pdf in rows if len(pdf)]
+        out: list[tuple] = []
+        if pdfs:
+            batch = pd.concat(pdfs, ignore_index=True).sort_values(
+                "ts", kind="mergesort"
             )
-            lo = int(ms.min())
-            first_ms = lo if first_ms == 0 else min(first_ms, lo)
-            last_ms = max(last_ms, int(ms.max()))
+            ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+            pii = batch["text"].str.contains(
+                r"\[[A-Z_]+\]", regex=True, na=False
+            ).to_numpy()
+            for i in range(len(batch)):
+                if n and int(ms[i]) - last_ms >= self.gap_ms:
+                    # gap inside the arrived rows → close and EMIT the
+                    # session now (accumulating across the gap would merge
+                    # two sessions whenever rows arrive before the timer)
+                    out.append((key[0], n, npii, first_ms, last_ms))
+                    n, npii = 0, 0
+                n += 1
+                npii += int(pii[i])
+                first_ms = int(ms[i]) if n == 1 else min(first_ms, int(ms[i]))
+                last_ms = max(last_ms, int(ms[i]))
         self.state.update((n, npii, first_ms, last_ms))
         # delete any timer registered for an earlier last_ms: a stale timer
         # would fire at old_last+gap and prematurely split a still-active
@@ -67,6 +81,21 @@ class ConversationStatsProcessor(StatefulProcessor):
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
         self.handle.registerTimer(last_ms + self.gap_ms)
+        if out:
+            return iter(
+                [
+                    pd.DataFrame(
+                        out,
+                        columns=[
+                            "conv_id",
+                            "n_turns",
+                            "n_pii_turns",
+                            "first_ms",
+                            "last_ms",
+                        ],
+                    )
+                ]
+            )
         return iter(())
 
     def handleExpiredTimer(
