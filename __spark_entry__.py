@@ -1020,7 +1020,8 @@ def _ngram_jaccard_oracle(filt_sql: str, max_df: "int | None") -> str:
     return (
         f"WITH docs AS ({DOCS_SQL}),"
         f" filt AS ({filt_sql}),"
-        f" words AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM filt),"
+        f" words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),"
+        f"           x -> x <> '') AS w FROM filt),"
         f" sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g"
         f"        FROM words, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
         f"        WHERE len(w) >= 5),"

@@ -84,10 +84,13 @@ def character_mask(
     maskable characters. Skipped characters are preserved and do not count.
 
     Implementation stays JVM-native: when there are no skip characters a
-    single substring/repeat expression suffices; with skip characters the
-    mask is applied as ``number_to_mask`` chained one-char regexp_replace
-    steps (N is small and config-time constant, so the chain is constant
-    depth and fully codegen'd).
+    single substring/repeat expression suffices; with skip characters a
+    per-character higher-order aggregate walks the cell once, masking the
+    first N non-skipped characters. (An earlier chained-regexp form had to
+    add the mask character itself to the skip class to avoid re-masking its
+    own output — which wrongly SKIPPED pre-existing mask characters in the
+    input and masked more than N characters; the aggregate counts maskable
+    characters exactly, including literal mask chars in the data.)
     """
     s = col.cast("string")
     m = masking_character
@@ -111,18 +114,30 @@ def character_mask(
             F.substring(s, n + 1, 2147483647),
         )
 
-    # skip characters present: unroll N single-char masking steps.
-    skip_klass = _char_class(characters_to_skip + masking_character)
-    out = s
+    # skip characters present: one per-character pass with a running count
+    # of masked characters (exactly number_to_mask non-skipped chars masked)
+    chars = F.split(s, "")
     if reverse_order:
-        pat = f"[^{skip_klass}]([{skip_klass}]*)$"
-        repl = _java_repl_escape(m) + "$1"
-    else:
-        pat = f"^([{skip_klass}]*)[^{skip_klass}]"
-        repl = "$1" + _java_repl_escape(m)
-    for _ in range(number_to_mask):
-        out = F.regexp_replace(out, pat, repl)
-    return out
+        chars = F.reverse(chars)
+
+    def _is_skip(c):
+        return F.instr(F.lit(characters_to_skip), c) >= 1
+
+    folded = F.aggregate(
+        chars,
+        F.struct(F.lit("").alias("s"), F.lit(0).alias("k")),
+        lambda acc, c: F.struct(
+            F.concat(
+                acc["s"],
+                F.when(_is_skip(c) | (acc["k"] >= F.lit(number_to_mask)), c).otherwise(
+                    F.lit(m)
+                ),
+            ).alias("s"),
+            (acc["k"] + F.when(_is_skip(c), F.lit(0)).otherwise(F.lit(1))).alias("k"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return F.reverse(folded) if reverse_order else folded
 
 
 def _repeat_mask(s: Column, m: str) -> Column:
@@ -238,14 +253,21 @@ def bucketing(
     """Range-bucket a value (DLP bucketingConfig, deid-template.json:52-181).
 
     ``buckets`` = [(min, max, replacement)] with min inclusive / max exclusive
-    (DLP semantics). Numeric buckets compare as double; string buckets compare
-    lexicographically. Values outside every bucket pass through stringified.
-    Pure when/otherwise chain → CASE WHEN in the plan, codegen'd.
+    (DLP semantics); ``min``/``max`` may each be None for the proto's
+    open-ended first/last buckets. Numeric buckets compare as double; string
+    buckets compare lexicographically. Values outside every bucket pass
+    through stringified. Pure when/otherwise chain → CASE WHEN in the plan,
+    codegen'd.
     """
     v = col.cast("double") if numeric else col.cast("string")
     expr: Column | None = None
     for lo, hi, repl in buckets:
-        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        parts = []
+        if lo is not None:
+            parts.append(v >= F.lit(lo))
+        if hi is not None:
+            parts.append(v < F.lit(hi))
+        cond = parts[0] if len(parts) == 1 else (parts[0] & parts[1])
         expr = F.when(cond, F.lit(repl)) if expr is None else expr.when(cond, F.lit(repl))
     if expr is None:
         return col.cast("string")

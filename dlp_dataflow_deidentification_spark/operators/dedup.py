@@ -102,7 +102,11 @@ def shingle_df(
     filter runs on word COUNT before grams exist: a ``size(sh) > 0`` filter
     would be pushed below the projection with the whole gram expression
     inlined, computing it twice per row."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # drop empty tokens (split of leading/trailing whitespace yields ""):
+    # phantom empty words would join shingles and shift the >=n gate
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
     tmp = df.select(F.col(id_col).alias("id"), words.alias("__w")).filter(
         F.size("__w") >= shingle_n
     )

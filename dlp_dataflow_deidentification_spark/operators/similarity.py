@@ -91,12 +91,18 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    # id columns keep their INPUT types (string media ids etc.), like the
+    # native path — the mapInPandas schema is derived, not hardcoded long
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_type}, vec_id {c_id_type}, sim double"
+
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
     if not qrows:
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, rank int, sim double"
+            [], f"query_id {q_id_type}, vec_id {c_id_type}, rank int, sim double"
         )
     q_ids = np.array([r.query_id for r in qrows])
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
@@ -132,9 +138,7 @@ def cosine_topk_arrow(
                 out_sim.extend(col[order])
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_id, "sim": out_sim})
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, vec_id long, sim double"
-    )
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 from ..functions import crypto, infotypes, transforms
 
 
+_TEMPLATE_ENVELOPES = ("deidentifyTemplate", "inspectTemplate")
+
+
+def load_template_doc(source: "str | dict") -> dict:
+    """THE template-document loader (single copy — previously four inline
+    variants had drifted): read a path or accept a dict, tolerate the
+    reference's ``// comment`` wrapper lines, and unwrap the tool-skeleton
+    envelopes (``{"deidentifyTemplate": {...}}`` / ``{"inspectTemplate":
+    ...}``, the shape DLPTemplateHelper uploads) — without the unwrap an
+    enveloped deid template used to compile to an EMPTY plan and write raw
+    PII as a silent no-op."""
+    if isinstance(source, str):
+        with open(source) as f:
+            text = f.read()
+        body = "\n".join(l for l in text.splitlines() if not l.strip().startswith("//"))
+        doc = json.loads(body)
+    else:
+        doc = source
+    for env in _TEMPLATE_ENVELOPES:
+        if isinstance(doc, dict) and env in doc:
+            doc = doc[env]
+    return doc
+
+
 @dataclass
 class FieldTransformation:
     fields: list[str]
@@ -48,11 +72,7 @@ class DeidTemplate:
     # -- construction ------------------------------------------------------
     @classmethod
     def from_file(cls, path: str, **kw) -> "DeidTemplate":
-        with open(path) as f:
-            text = f.read()
-        # tolerate the reference's "// [START ...]" comment wrapper lines
-        body = "\n".join(l for l in text.splitlines() if not l.strip().startswith("//"))
-        return cls.from_dict(json.loads(body), **kw)
+        return cls.from_dict(load_template_doc(path), **kw)
 
     @classmethod
     def from_dict(
@@ -62,6 +82,7 @@ class DeidTemplate:
         custom_infotypes: dict[str, infotypes.InfoType] | None = None,
         deterministic_mode: str = "siv",
     ) -> "DeidTemplate":
+        doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
         cfg = doc.get("deidentifyConfig", doc)
         record = cfg.get("recordTransformations", cfg)
@@ -116,6 +137,14 @@ class DeidTemplate:
                     list(prim)[0],
                 )
             )
+        if not out.transformations:
+            # a "deid" plan with zero transformations would write raw PII
+            # while reporting healthy metrics — refuse loudly instead
+            raise ValueError(
+                "template compiled to ZERO transformations — refusing a "
+                "no-op de-identification plan (is this an inspect template, "
+                "or is recordTransformations missing/misplaced?)"
+            )
         return out
 
 
@@ -133,13 +162,11 @@ class InspectConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "InspectConfig":
-        with open(path) as f:
-            text = f.read()
-        body = "\n".join(l for l in text.splitlines() if not l.strip().startswith("//"))
-        return cls.from_dict(json.loads(body))
+        return cls.from_dict(load_template_doc(path))
 
     @classmethod
     def from_dict(cls, doc: dict) -> "InspectConfig":
+        doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         cfg = doc.get("inspectConfig", doc)
         dets = [infotypes.resolve(i["name"]) for i in cfg.get("infoTypes", [])]
         for ci in cfg.get("customInfoTypes", []):
@@ -205,7 +232,7 @@ def _primitive(
     if "characterMaskConfig" in prim:
         cm = prim["characterMaskConfig"]
         skip = "".join(
-            ci.get("charactersToSkip", "") for ci in cm.get("charactersToIgnore", [])
+            _ignore_chars(ci) for ci in cm.get("charactersToIgnore", [])
         )
         return lambda c: transforms.character_mask(
             c,
@@ -249,6 +276,35 @@ def _primitive(
     raise ValueError(f"unsupported primitiveTransformation: {list(prim)}")
 
 
+# DLP CharsToIgnore.CommonCharsToIgnore enum → concrete character sets
+_COMMON_IGNORE = {
+    "NUMERIC": "0123456789",
+    "ALPHA_UPPER_CASE": "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "ALPHA_LOWER_CASE": "abcdefghijklmnopqrstuvwxyz",
+    "PUNCTUATION": r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""",
+    "WHITESPACE": " \t\n\r\x0b\x0c",
+}
+
+
+def _ignore_chars(ci: dict) -> str:
+    """One charactersToIgnore entry → its character set: either the literal
+    charactersToSkip string or the commonCharactersToIgnore enum (the oneof
+    the proto defines — previously the enum arm was silently dropped and
+    e.g. PUNCTUATION-preserving SSN masks destroyed their dashes)."""
+    if "charactersToSkip" in ci:
+        return ci["charactersToSkip"]
+    if "commonCharactersToIgnore" in ci:
+        name = ci["commonCharactersToIgnore"]
+        try:
+            return _COMMON_IGNORE[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown commonCharactersToIgnore {name!r}; one of "
+                f"{sorted(_COMMON_IGNORE)}"
+            ) from None
+    return ""
+
+
 def _num(value: dict) -> float:
     for k in ("integerValue", "floatValue"):
         if k in value:
@@ -256,16 +312,22 @@ def _num(value: dict) -> float:
     raise ValueError(f"non-numeric bound: {value}")
 
 
-def _val(value: dict):
+def _val(value: "dict | None"):
+    if value is None:
+        return None
     if "stringValue" in value:
         return value["stringValue"]
     return _num(value)
 
 
 def _parse_buckets(buckets: list[dict]) -> tuple[list[tuple], bool]:
+    """DLP BucketingConfig buckets; min/max are each OPTIONAL (an omitted
+    bound makes the first/last bucket open-ended, per the proto)."""
     out, numeric = [], True
     for b in buckets:
-        lo, hi = _val(b["min"]), _val(b["max"])
+        lo, hi = _val(b.get("min")), _val(b.get("max"))
+        if lo is None and hi is None:
+            raise ValueError("bucket must declare at least one of min/max")
         repl = b["replacementValue"]["stringValue"]
         if isinstance(lo, str) or isinstance(hi, str):
             numeric = False

@@ -39,17 +39,12 @@ from .config import DeidTemplate, InspectConfig
 def _maybe_inspect_config(template: "str | dict") -> "InspectConfig | None":
     """Return the compiled InspectConfig when the template is a DLP inspect
     template (has inspectConfig — inspect-template.json:8-32); None for
-    deid templates."""
-    if isinstance(template, str):
-        with open(template) as f:
-            body = "\n".join(
-                l for l in f.read().splitlines() if not l.strip().startswith("//")
-            )
-        import json
+    deid templates. Envelope/comment handling via the shared loader."""
+    from .config import load_template_doc
 
-        template = json.loads(body)
-    if "inspectConfig" in template:
-        return InspectConfig.from_dict(template)
+    doc = load_template_doc(template)
+    if "inspectConfig" in doc:
+        return InspectConfig.from_dict(doc)
     return None
 
 ERROR_SCHEMA_COLS = ("file_name", "transaction_timestamp", "error_message", "stack_trace")
@@ -145,7 +140,17 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None
     elif mode == "reid":
         if not crypto_key:
             raise ValueError("mode='reid' requires an explicit crypto_key")
-        out = reidentify(df, spec["reid_columns"], crypto_key, mode=crypto_mode)
+        # full reid surface: surrogate_info_type strips the template's
+        # "NAME(len):" envelope (without it, enveloped tokens are
+        # undecryptable); strict=False routes corrupt tokens to NULL
+        out = reidentify(
+            df,
+            spec["reid_columns"],
+            crypto_key,
+            surrogate_info_type=spec.get("surrogate_info_type"),
+            strict=spec.get("strict", True),
+            mode=crypto_mode,
+        )
     elif mode == "inspect":
         ids = [files.SOURCE_KEY_COL] if files.SOURCE_KEY_COL in df.columns else []
         icfg = _maybe_inspect_config(spec["template"])
@@ -160,7 +165,10 @@ def run_batch(spark: SparkSession, spec: dict[str, Any], crypto_key: "str | None
                 max_findings_per_item=icfg.max_findings_per_item,
             )
         else:  # a deid template: inspect with its referenced detectors
-            template = load_template(spec["template"], crypto_key)
+            # honor the spec's crypto_mode here too: inspection only needs
+            # the detector list, but compiling with the wrong cipher mode
+            # can raise (e.g. SIV default without the cryptography wheel)
+            template = load_template(spec["template"], crypto_key, crypto_mode)
             out = inspect(df, template.detectors, spec["text_columns"], id_columns=ids)
     else:
         raise ValueError(f"unknown mode {mode!r}")

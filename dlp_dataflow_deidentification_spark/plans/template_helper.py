@@ -32,8 +32,14 @@ def render_config(text: str, kek: str, key_name: str, timestamp: "int | None" = 
     order: every (wrappedKey, cryptoKeyName) pair gets (kek, key_name); the
     final placeholder is the millisecond timestamp appended to displayName
     (DLPTemplateHelper.java:60-75). Placeholder arity is inferred from the
-    skeleton (deid=5, reid=3, inspect=1 in the reference's resources)."""
-    n = text.count("%s")
+    skeleton (deid=5, reid=3, inspect=1 in the reference's resources).
+
+    Substitution is a literal split-on-"%s" interleave, NOT Python
+    %-formatting: a skeleton containing a literal percent elsewhere (a
+    regex like ``[0-9]{1,3}%`` or a displayName) must not raise or be
+    consumed as a format directive."""
+    parts = text.split("%s")
+    n = len(parts) - 1
     if n < 1:
         raise ValueError("skeleton has no %s placeholders")
     if n % 2 != 1:
@@ -46,8 +52,8 @@ def render_config(text: str, kek: str, key_name: str, timestamp: "int | None" = 
     args: list = []
     for _ in range(n // 2):
         args += [json.dumps(kek), key]
-    args.append(ts)
-    rendered = text % tuple(args)
+    args.append(str(ts))
+    rendered = parts[0] + "".join(a + p for a, p in zip(args, parts[1:]))
     json.loads(rendered)  # must be valid JSON after substitution
     return rendered
 
@@ -60,20 +66,11 @@ def validate_template(doc: "str | dict", crypto_key: "str | None" = None) -> dic
     from . import config as C
 
     report: dict = {"kind": None, "transformations": [], "detectors": [], "errors": []}
-    if isinstance(doc, str):
-        try:
-            with open(doc) as f:
-                body = "\n".join(
-                    l for l in f.read().splitlines() if not l.strip().startswith("//")
-                )
-            doc = json.loads(body)
-        except (OSError, json.JSONDecodeError) as e:
-            report["errors"].append(f"unreadable template: {e}")
-            return report
-    # unwrap the tool-skeleton envelope ({"deidentifyTemplate": {...}})
-    for env in ("deidentifyTemplate", "inspectTemplate"):
-        if env in doc:
-            doc = doc[env]
+    try:
+        doc = C.load_template_doc(doc)  # comments + envelopes, one loader
+    except (OSError, json.JSONDecodeError) as e:
+        report["errors"].append(f"unreadable template: {e}")
+        return report
     if "inspectConfig" in doc:
         report["kind"] = "inspect"
         try:

@@ -302,3 +302,29 @@ def test_crypto_template_requires_explicit_key():
                 }
             }
         )
+
+
+def test_envelope_wrapped_template_is_not_a_silent_noop(spark):
+    """{"deidentifyTemplate": {...}} (the DLPTemplateHelper upload shape)
+    must compile to the SAME plan as the bare template — the old loader
+    fell through to an empty plan and wrote raw PII as a no-op."""
+    inner = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "text"}],
+                        "primitiveTransformation": {
+                            "replaceConfig": {"newValue": {"stringValue": "[GONE]"}}
+                        },
+                    }
+                ]
+            }
+        }
+    }
+    t = dds.DeidTemplate.from_dict({"deidentifyTemplate": inner})
+    df = spark.createDataFrame([("secret",)], "text string")
+    assert dds.deidentify(df, t).collect()[0].text == "[GONE]"
+    # and a template that compiles to nothing refuses loudly
+    with pytest.raises(ValueError, match="ZERO transformations"):
+        dds.DeidTemplate.from_dict({"deidentifyConfig": {"recordTransformations": {}}})

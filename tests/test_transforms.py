@@ -236,3 +236,66 @@ def test_date_shift_honors_lower_bound(spark):
         F.col("k") == F.col("k2"),
     ).select((F.col("d").cast("date") >= F.col("base").cast("date")).alias("fwd")).collect()
     assert all(r.fwd for r in rows)
+
+
+def test_character_mask_counts_preexisting_mask_chars(spark):
+    """The mask character in the INPUT is maskable and counts toward
+    number_to_mask (the old chained-regexp form skipped it and masked a 4th
+    character beyond the configured count)."""
+    df = spark.createDataFrame([("x*yz",)], "t string")
+    out = df.select(
+        transforms.character_mask(
+            F.col("t"), "*", number_to_mask=3, characters_to_skip="-"
+        ).alias("v")
+    ).collect()[0].v
+    assert out == "***z"
+
+
+def test_character_mask_common_chars_to_ignore_template(spark):
+    """commonCharactersToIgnore=PUNCTUATION preserves SSN dashes."""
+    from dlp_dataflow_deidentification_spark.plans.config import DeidTemplate
+
+    t = DeidTemplate.from_dict(
+        {
+            "deidentifyConfig": {
+                "recordTransformations": {
+                    "fieldTransformations": [
+                        {
+                            "fields": [{"name": "ssn"}],
+                            "primitiveTransformation": {
+                                "characterMaskConfig": {
+                                    "maskingCharacter": "#",
+                                    "charactersToIgnore": [
+                                        {"commonCharactersToIgnore": "PUNCTUATION"}
+                                    ],
+                                }
+                            },
+                        }
+                    ]
+                }
+            }
+        }
+    )
+    import dlp_dataflow_deidentification_spark as dds
+
+    df = spark.createDataFrame([("552-09-1234",)], "ssn string")
+    assert dds.deidentify(df, t).collect()[0].ssn == "###-##-####"
+
+
+def test_bucketing_open_ended_bounds(spark):
+    from dlp_dataflow_deidentification_spark.plans.config import _parse_buckets
+
+    bks, numeric = _parse_buckets(
+        [
+            {"max": {"integerValue": 10}, "replacementValue": {"stringValue": "low"}},
+            {
+                "min": {"integerValue": 10},
+                "max": {"integerValue": 20},
+                "replacementValue": {"stringValue": "mid"},
+            },
+            {"min": {"integerValue": 20}, "replacementValue": {"stringValue": "high"}},
+        ]
+    )
+    df = spark.createDataFrame([(-5,), (15,), (99,)], "v int")
+    out = [r.b for r in df.select(transforms.bucketing(F.col("v"), bks, numeric).alias("b")).collect()]
+    assert out == ["low", "mid", "high"]
