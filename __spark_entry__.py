@@ -494,8 +494,10 @@ def q_inspect_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InspectConfig fidelity as a value-checked query: minLikelihood=LIKELY
     prunes the POSSIBLE dictionary detector at plan time, and
     maxFindingsPerItem=2 keeps only the first two findings per row in
-    (column, detector-config-order, match-position) order — the DuckDB
-    oracle reproduces the same concat+slice (inspect-template.json:8-32,
+    DOCUMENT POSITION order (start offset, detector order on ties — the DLP
+    truncation rule; engine default findings_order="position"). The DuckDB
+    oracle reproduces the rule with the offsets machinery + one row_number
+    window (inspect-template.json:8-32,
     beam/DLPInspectText.java:269-270,306-309)."""
     from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
 
@@ -921,31 +923,40 @@ def _inspect_dictionary_oracle() -> str:
 
 
 def _inspect_limits_oracle(max_per_item: int) -> str:
-    """Per-row findings list = concat over detectors (config order) of the
-    tagged match lists, sliced to the first ``max_per_item`` — DuckDB's
-    list_concat/list_slice mirror the engine's flatten+slice exactly.
-    minLikelihood=LIKELY already pruned the POSSIBLE dictionary detector,
-    so only TRANSCRIPT_DETECTORS appear."""
+    """Position-ordered maxFindingsPerItem (the DLP rule): per row, the
+    first ``max_per_item`` findings in (start_offset, detector_idx) order —
+    a detector cannot match twice at one offset, so that pair is a total
+    order. Offsets come from the same cumulative segment/match-length
+    derivation as the inspect_offsets oracle; the cap is one row_number
+    window per row. minLikelihood=LIKELY already pruned the POSSIBLE
+    dictionary detector, so only TRANSCRIPT_DETECTORS appear (det_idx =
+    their config order)."""
     from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
 
     arms = []
-    for name in TRANSCRIPT_DETECTORS:
+    for di, name in enumerate(TRANSCRIPT_DETECTORS):
         it = resolve(name)
         pat = it.pattern.replace("'", "''")
         arms.append(
-            f"list_transform(regexp_extract_all(text, '{pat}'),"
-            f" q -> {{'field_id': 'text', 'info_type_name': '{it.name}',"
-            f" 'likelihood': '{it.likelihood}', 'quote': q}})"
+            f"SELECT conv_id, turn_idx, {di} AS det_idx,"
+            f" CAST(coalesce(list_sum(list_transform(s[1:i], x -> length(x))), 0)"
+            f"  + coalesce(list_sum(list_transform(m[1:i-1], x -> length(x))), 0) AS BIGINT)"
+            f"  AS pos,"
+            f" 'text' AS field_id, '{it.name}' AS info_type_name,"
+            f" '{it.likelihood}' AS likelihood, m[i] AS quote"
+            f" FROM (SELECT conv_id, turn_idx,"
+            f"   regexp_extract_all(text, '{pat}') AS m,"
+            f"   string_split_regex(text, '{pat}') AS s FROM transcripts),"
+            f" UNNEST(generate_series(1, len(m))) AS t(i)"
         )
-    concat = " || ".join(arms)
+    union = " UNION ALL ".join(arms)
     return (
         f"{_transcripts_cte()},"
-        f" f AS (SELECT conv_id, turn_idx,"
-        f"   list_slice({concat}, 1, {max_per_item}) AS fs FROM transcripts),"
-        f" u AS (SELECT conv_id, turn_idx, unnest(fs) AS x FROM f)"
-        f" SELECT conv_id, turn_idx, x.field_id AS field_id,"
-        f" x.info_type_name AS info_type_name, x.likelihood AS likelihood,"
-        f" x.quote AS quote FROM u"
+        f" u AS ({union}),"
+        f" r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx"
+        f"   ORDER BY pos, det_idx) AS rn FROM u)"
+        f" SELECT conv_id, turn_idx, field_id, info_type_name, likelihood, quote"
+        f" FROM r WHERE rn <= {max_per_item}"
     )
 
 
@@ -953,14 +964,16 @@ def _dlp_batches_oracle(max_batch_bytes: int) -> str:
     """Greedy byte-packing as a recursive CTE: scan each conversation's turns
     in turn order; start a new batch when adding the next turn would exceed
     the budget (an oversized single turn forms its own batch) — exactly
-    streaming/stateful.py::pack_greedy. length() counts codepoints in DuckDB,
-    matching pandas ``str.len``."""
+    streaming/stateful.py::pack_greedy. strlen() counts UTF-8 BYTES in
+    DuckDB, matching the engine's ``str.encode('utf-8').str.len`` sizing
+    (the reference budgets proto-serialized bytes,
+    beam/BatchRequestForDLP.java:62-66)."""
     b = max_batch_bytes
     return (
         f"WITH RECURSIVE transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),"
         f" t AS (SELECT conv_id,"
         f"   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,"
-        f"   length(text) AS len FROM transcripts),"
+        f"   strlen(text) AS len FROM transcripts),"
         f" rec AS ("
         f"   SELECT conv_id, rn, len, len AS buf, 0 AS seq FROM t WHERE rn = 1"
         f"   UNION ALL"

@@ -225,25 +225,22 @@ def _spread(df: DataFrame) -> DataFrame:
     row, decided AFTER the scan split, so a small input (few parquet row
     groups) would pin the whole dedup pipeline to a handful of cores. No-op
     when the input is big enough to split widely on its own (the 100 TB
-    case). The check uses Catalyst's optimized-plan size estimate vs
-    spark.sql.files.maxPartitionBytes — no RDD conversion, no job."""
+    case).
+
+    The gate is the PHYSICAL partition count (``.rdd.getNumPartitions()`` —
+    planning only, no job, no data touched): Catalyst's size estimate is
+    directionless here — a small estimate can still be pre-split wide
+    (repartitioning it again is a needless shuffle), and a large estimate
+    can sit in ONE partition (a non-splittable gzip/single-row-group file)
+    that must be widened or the whole pipeline pins to one core. Only the
+    partition count answers the actual question."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
     try:
-        est_bytes = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-        max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
-        # Catalyst reports Long.MaxValue-scale sentinels when stats are
-        # UNKNOWN (LogicalRDD, JDBC, statless hive tables) — that means
-        # "can't tell", not "huge": fall through to the partition-count
-        # check rather than skipping the widen on a 1-partition input.
-        if 0 < est_bytes < (1 << 60) and max_pb > 0 and est_bytes // max_pb >= want:
-            return df  # wide enough already: don't shuffle the corpus text
-        if est_bytes >= (1 << 60) and df.rdd.getNumPartitions() >= want:
-            return df  # unknown size but already well-split
+        if df.rdd.getNumPartitions() >= want:
+            return df  # already well-split: don't shuffle the corpus text
     except Exception:
-        pass  # stats unavailable: fall through to the safe small-input path
+        pass  # planning unavailable: fall through to the safe widen
     return df.repartition(want)
 
 

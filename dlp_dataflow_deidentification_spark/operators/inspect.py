@@ -72,6 +72,7 @@ def inspect(
     min_likelihood: "str | None" = None,
     include_quote: bool = True,
     max_findings_per_item: "int | None" = None,
+    findings_order: str = "position",
 ) -> DataFrame:
     """Native findings table: one row per (input row, column, detector, match).
 
@@ -83,7 +84,20 @@ def inspect(
     detectors below the floor, ``include_quote=False`` nulls the quote (the
     match text is never shipped to the sink), ``max_findings_per_item``
     caps findings per input row (DLP limits.maxFindingsPerItem analogue).
+
+    ``findings_order`` picks which findings survive the cap:
+    ``"position"`` (default — DLP behavior) keeps the first N in document
+    order, total order (column_idx, start_offset, detector_idx); match
+    offsets are derived natively from cumulative segment/match lengths of
+    ``split``/``regexp_extract_all`` — still one source scan, zero Python,
+    no shuffle. ``"detector"`` keeps the first N in (column,
+    detector-config-order, match-position) order — cheaper (no offset
+    bookkeeping) and the engine's pre-round-4 rule.
     """
+    if findings_order not in ("position", "detector"):
+        raise ValueError(
+            f"findings_order must be 'position' or 'detector', got {findings_order!r}"
+        )
     dets = _filter_min_likelihood([resolve(d) for d in detectors], min_likelihood)
 
     # single-pass plan: per row, one array of finding-structs covering every
@@ -107,6 +121,11 @@ def inspect(
             F.lit(None).cast("string").alias("quote"),
         ).limit(0)
 
+    if max_findings_per_item is not None and findings_order == "position":
+        return _inspect_position_capped(
+            df, dets, text_columns, id_columns, include_quote, max_findings_per_item
+        )
+
     per_pair = []
     for col in text_columns:
         for it in dets:
@@ -126,6 +145,109 @@ def inspect(
         findings = F.slice(findings, 1, max_findings_per_item)
     return df.select(
         *[F.col(c) for c in id_columns], F.explode(findings).alias("f")
+    ).select(*id_columns, "f.*")
+
+
+_SORTABLE_FINDING_T = (
+    "array<struct<_col:int,_pos:int,_det:int,"
+    "field_id:string,info_type_name:string,likelihood:string,quote:string>>"
+)
+
+
+def _inspect_position_capped(
+    df: DataFrame,
+    dets: list,
+    text_columns: Sequence[str],
+    id_columns: Sequence[str],
+    include_quote: bool,
+    cap: int,
+) -> DataFrame:
+    """Position-ordered ``max_findings_per_item``: per row, every (column,
+    detector) pair's matches are tagged with their codepoint start offset
+    (cumulative lengths of the split segments + preceding matches — the
+    same derivation the DuckDB oracle and ``inspect_offsets`` use), the
+    combined array is ``array_sort``-ed on (column_idx, offset,
+    detector_idx) and sliced to the cap.
+
+    Plan-shape note (measured HOF-capture trap, operators/dedup.py): the
+    match/segment arrays are materialized as their own projection, and every
+    reference to them in the tagging stage is a WHOLE-ARRAY input to one
+    higher-order function — never captured inside a per-element lambda — so
+    the regexp/split subtrees are evaluated once per row even if Catalyst
+    collapses the projections. The per-element work touches only the
+    accumulator and the zipped element."""
+    proj = [F.col(c) for c in id_columns]
+    for ci, col in enumerate(text_columns):
+        txt = F.coalesce(F.col(col), F.lit(""))
+        for di, it in enumerate(dets):
+            proj.append(
+                F.regexp_extract_all(txt, F.lit(it.pattern), F.lit(0)).alias(
+                    f"__m_{ci}_{di}"
+                )
+            )
+            proj.append(F.split(txt, it.pattern, -1).alias(f"__s_{ci}_{di}"))
+    stage1 = df.select(*proj)
+
+    def _tagged(ci: int, col: str, di: int, it) -> "F.Column":
+        m, s = F.col(f"__m_{ci}_{di}"), F.col(f"__s_{ci}_{di}")
+        # (segment-before-match, match) pairs; n segments for n matches
+        zipped = F.zip_with(
+            F.slice(s, 1, F.size(m)),
+            m,
+            lambda seg, q: F.struct(F.length(seg).alias("sl"), q.alias("q")),
+        )
+        # one left-to-right fold per row: carry the running offset, emit one
+        # tagged struct per match at offset = carried + len(preceding segment)
+        return F.aggregate(
+            zipped,
+            F.struct(
+                F.lit(0).alias("cur"),
+                F.array().cast(_SORTABLE_FINDING_T).alias("arr"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cur"] + x["sl"] + F.length(x["q"])).alias("cur"),
+                F.concat(
+                    acc["arr"],
+                    F.array(
+                        F.struct(
+                            F.lit(ci).alias("_col"),
+                            (acc["cur"] + x["sl"]).alias("_pos"),
+                            F.lit(di).alias("_det"),
+                            F.lit(col).alias("field_id"),
+                            F.lit(it.name).alias("info_type_name"),
+                            F.lit(it.likelihood).alias("likelihood"),
+                            (
+                                x["q"]
+                                if include_quote
+                                else F.lit(None).cast("string")
+                            ).alias("quote"),
+                        )
+                    ),
+                ).alias("arr"),
+            ),
+            lambda acc: acc["arr"],
+        )
+
+    tagged = [
+        _tagged(ci, col, di, it)
+        for ci, col in enumerate(text_columns)
+        for di, it in enumerate(dets)
+    ]
+    # default struct comparator = lexicographic on fields in order:
+    # (_col, _pos, _det) is a total order (a detector cannot match twice at
+    # one offset), so the string fields never tie-break
+    findings = F.slice(F.array_sort(F.flatten(F.array(*tagged))), 1, cap)
+    final = F.transform(
+        findings,
+        lambda f: F.struct(
+            f["field_id"].alias("field_id"),
+            f["info_type_name"].alias("info_type_name"),
+            f["likelihood"].alias("likelihood"),
+            f["quote"].alias("quote"),
+        ),
+    )
+    return stage1.select(
+        *[F.col(c) for c in id_columns], F.explode(final).alias("f")
     ).select(*id_columns, "f.*")
 
 
@@ -149,30 +271,44 @@ def inspect_offsets(
     min_likelihood: "str | None" = None,
     include_quote: bool = True,
     max_findings_per_item: "int | None" = None,
+    findings_order: str = "position",
 ) -> DataFrame:
     """Findings with codepoint offsets (dlpInspectionSchema parity,
     Util.java:162-173). Arrow-batched pandas UDF: regex scanning is C-backed
     (`re`), one UDF call per Arrow batch, then a JVM-side explode. One array
     per input row covering ALL text columns (single source scan; the
     ``max_findings_per_item`` cap therefore applies per row, like DLP's
-    limits.maxFindingsPerItem)."""
+    limits.maxFindingsPerItem). ``findings_order`` as in ``inspect``:
+    ``"position"`` (default, DLP rule) caps in (column_idx, start_offset,
+    detector_idx) order; ``"detector"`` in detector-config order."""
+    if findings_order not in ("position", "detector"):
+        raise ValueError(
+            f"findings_order must be 'position' or 'detector', got {findings_order!r}"
+        )
     resolved = _filter_min_likelihood([resolve(d) for d in detectors], min_likelihood)
     dets = [(it.name, it.likelihood, re.compile(it.pattern)) for it in resolved]
     cap = max_findings_per_item
+    by_position = findings_order == "position"
 
     @F.pandas_udf(ArrayType(_FINDING))
     def _scan(*cols: pd.Series) -> pd.Series:
         def one(texts):
             out = []
-            for fid, text in zip(text_columns, texts):
+            for ci, (fid, text) in enumerate(zip(text_columns, texts)):
                 if text is None:
                     continue
                 out.extend(
-                    (fid, name, lk, m.group(0) if include_quote else None, m.start(), m.end())
-                    for (name, lk, rx) in dets
+                    (
+                        (ci, m.start(), di),
+                        (fid, name, lk, m.group(0) if include_quote else None, m.start(), m.end()),
+                    )
+                    for di, (name, lk, rx) in enumerate(dets)
                     for m in rx.finditer(text)
                 )
-            return out[:cap] if cap is not None else out
+            if by_position and cap is not None:
+                out.sort(key=lambda e: e[0])
+            vals = [e[1] for e in out]
+            return vals[:cap] if cap is not None else vals
 
         return pd.Series([one(texts) for texts in zip(*cols)])
 

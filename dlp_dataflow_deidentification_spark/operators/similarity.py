@@ -78,9 +78,10 @@ def cosine_topk_arrow(
     per-element interpreted higher-order dot product for BLAS — the right
     brute-force baseline when embeddings are wide or the corpus is huge.
 
-    Edge-case contract: zero-norm corpus vectors score sim=0.0 here (a
-    defined value); the native/HOF path's cosine is NaN for them (undefined,
-    and Spark's desc sort ranks NaN first). Filter zero vectors out before
+    Edge-case contract: zero-norm corpus vectors AND zero-norm query
+    vectors score sim=0.0 here (a defined value); the native/HOF path's
+    cosine is NaN for them (undefined, and Spark's desc sort ranks NaN
+    first). Filter zero vectors out before
     calling either path if your corpus can contain them. Ties are broken by
     vec_id among rows with EQUAL computed sims — but BLAS blocking gives
     remainder rows position-dependent last-ulp results, so EXACT-duplicate
@@ -106,7 +107,12 @@ def cosine_topk_arrow(
         )
     q_ids = np.array([r.query_id for r in qrows])
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # same zero-norm guard as the corpus side: an unguarded 0/0 makes every
+    # sim for that query NaN, and NaN ordering then diverges from the native
+    # path's desc sort — a zero-norm QUERY scores 0.0 against everything
+    qnorms = np.linalg.norm(Q, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0
+    Qn = Q / qnorms
 
     def score(batches):
         for pdf in batches:

@@ -29,15 +29,24 @@ Input contract (standard Spark file-source semantics): files must be placed
 ATOMICALLY (write elsewhere + rename into the directory). A zero-byte
 placeholder later filled in-place is marked consumed by the source catalog
 at discovery and its later content is never re-read — as with every Spark
-file stream.
+file stream. Zero-byte files are additionally INVISIBLE to discovery
+(Spark's file-scan planning emits no split for a length-0 file — true for
+every file format, binaryFile included), so an empty CSV can never
+establish a table key; the first non-empty file of a key defines its
+schema. This matches the reference, whose header extraction also has
+nothing to read from an empty file.
 
-Scale shape: the per-batch driver work is one ``collect()`` of distinct file
-NAMES (bounded by maxFilesPerTrigger, never row data); row data flows
-executor-side through the native CSV scan → parquet write.
+Scale shape: the discovery leg is a ``binaryFile`` stream with the
+``content`` column pruned away (ReadSchema = struct<path:string> — the scan
+lists files without reading their bytes, so ingest I/O is NOT doubled; an
+earlier ``readStream.text`` form shipped every row through the discovery
+leg just to learn the file name). The per-batch driver work is one
+``collect()`` of distinct file NAMES (bounded by maxFilesPerTrigger, never
+row data); row data flows executor-side through the native CSV scan →
+parquet write.
 """
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 
@@ -45,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from ..streaming.commitlog import LocalFSSchemaLedger
 from ..streaming.sink import IdempotentBatchSink
 from .files import sanitize_key
 
@@ -60,12 +70,15 @@ class DynamicSchemaCsvStream:
     checkpoint_dir: str
     delimiter: str = ","
     max_files_per_trigger: "int | None" = None
-    # keep-one schema map (key -> list[str]); disk ledger is authoritative
+    # keep-one schema map (key -> list[str]); the durable ledger
+    # (streaming/commitlog.py — put-if-absent; Iceberg/JDBC MERGE INTO on a
+    # cluster) is authoritative
     _schemas: dict = field(default_factory=dict)
 
     # -- keep-one schema resolution ----------------------------------------
-    def _schema_path(self, key: str) -> str:
-        return os.path.join(self.output_dir, key, "_schema.json")
+    @property
+    def schema_ledger(self) -> LocalFSSchemaLedger:
+        return LocalFSSchemaLedger(self.output_dir)
 
     def columns_for(self, key: str, first_path: str) -> list[str]:
         """Columns for a table key: first the in-memory map, then the durable
@@ -73,23 +86,18 @@ class DynamicSchemaCsvStream:
         key's schema forever — ResolveDuplicatesCombineFn keep-one)."""
         if key in self._schemas:
             return self._schemas[key]
-        p = self._schema_path(key)
-        if os.path.exists(p):
-            with open(p) as f:
-                cols = json.load(f)["columns"]
-        else:
-            cols = (
+        cols = self.schema_ledger.get(key)
+        if cols is None:
+            header = (
                 self.spark.read.option("header", "true")
                 .option("sep", self.delimiter)
                 .option("inferSchema", "false")
                 .csv(first_path)
                 .columns
             )
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"columns": cols, "source": os.path.basename(first_path)}, f)
-            os.rename(tmp, p)
+            cols = self.schema_ledger.put_if_absent(
+                key, header, os.path.basename(first_path)
+            )
         self._schemas[key] = cols
         return cols
 
@@ -114,14 +122,29 @@ class DynamicSchemaCsvStream:
             IdempotentBatchSink(os.path.join(self.output_dir, key))(df, batch_id)
 
     def start(self, trigger: dict | None = None):
-        """Discovery stream: readStream.text gives exactly-once new-file
-        tracking via the source catalog; only file names reach the driver."""
-        reader = self.spark.readStream.option("recursiveFileLookup", "true")
+        """Discovery stream: a ``binaryFile`` readStream gives exactly-once
+        new-file tracking via the source catalog; selecting only ``path``
+        prunes the ``content`` column so NO file bytes are read by the
+        discovery leg (metadata-only scan), and only file names reach the
+        driver."""
+        from pyspark.sql.types import BinaryType, LongType, TimestampType
+
+        binary_file_schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("modificationTime", TimestampType()),
+                StructField("length", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        )
+        reader = (
+            self.spark.readStream.format("binaryFile")
+            .schema(binary_file_schema)
+            .option("recursiveFileLookup", "true")
+        )
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        names = reader.text(self.input_dir).select(
-            F.input_file_name().alias("f")
-        )
+        names = reader.load(self.input_dir).select(F.col("path").alias("f"))
         writer = (
             names.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -8,52 +8,48 @@ ignoreInsertIds, or Storage Write API exactly-once) with a
 * each micro-batch writes its rows under ``data/batch_id=<id>/`` (one
   atomic directory per batch — the Iceberg analogue is an idempotent
   append snapshot tagged with the batchId);
-* a ledger entry ``_ledger/<id>.json`` records the commit plus lineage
-  (row count, per-partition row counts, min/max event time, wall time);
+* a ``CommitLog`` entry (streaming/commitlog.py) records the commit plus
+  lineage (row count, per-partition row counts, min/max event time, wall
+  time);
 * a batch whose ledger entry exists is skipped entirely, so Structured
   Streaming's at-least-once ``foreachBatch`` retries and checkpoint
   replays become exactly-once end-to-end.
 
-On a cluster this maps 1:1 to an Iceberg ``MERGE INTO`` keyed
-``(conv_id, turn_idx)`` or an idempotent append with
-``commit.retry`` + snapshot summary properties; the ledger here stands in
-for the Iceberg snapshot log since the sandbox has no Iceberg runtime jars.
+Lineage is computed EXECUTOR-SIDE in the same pass as the write: the
+``observe()`` node carries one conditional-count aggregate per write
+partition (``spark_partition_id()`` buckets), so the driver does zero
+per-file I/O after the write — no directory walk, no parquet-footer reads,
+no object-store GET storm at thousands-of-files batch sizes. (An earlier
+revision re-listed the output directory and read every footer on the
+driver, serial work proportional to files-per-batch.)
+
+The commit interface has two implementations (commitlog.py):
+``LocalFSCommitLog`` (atomic rename; used here) and ``IcebergCommitLog``
+(the object-store-safe cluster form — data + ledger entry in ONE atomic
+Iceberg snapshot, jar-gated in this sandbox).
 """
 from __future__ import annotations
 
-import json
-import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .commitlog import CommitLog, LocalFSCommitLog
 
-def _partition_lineage(target: str) -> list[dict]:
-    """Per-output-partition row counts from parquet footers (pyarrow metadata
-    read; no Spark job, no data scan). The reference exposes the analogous
-    numbers only as aggregate Beam counters."""
-    import pyarrow.parquet as pq
+# one observe() aggregate per write partition; batches planned wider than
+# this fold into pid % cap buckets so the metric row stays bounded
+LINEAGE_PARTITION_CAP = 1024
 
-    out = []
-    for root, _dirs, fnames in os.walk(target):
-        for fname in sorted(fnames):
-            if not fname.endswith(".parquet"):
-                continue
-            p = os.path.join(root, fname)
-            try:
-                md = pq.read_metadata(p)
-            except Exception:
-                continue
-            out.append(
-                {
-                    "file": os.path.relpath(p, target),
-                    "rows": md.num_rows,
-                    "bytes": os.path.getsize(p),
-                }
-            )
-    return out
+
+def _partition_count(batch_df: DataFrame) -> int:
+    """Planned partition count of the write stage (physical planning only —
+    no job, no data read)."""
+    try:
+        return max(1, batch_df.rdd.getNumPartitions())
+    except Exception:
+        return 1
 
 
 @dataclass
@@ -67,33 +63,68 @@ class IdempotentBatchSink:
     # each batch directory by this column so every source key gets its own
     # sub-table, while the batchId ledger still governs exactly-once
     partition_col: str | None = None
+    # atomic commit point; swap for IcebergCommitLog on a cluster
+    commit_log: CommitLog = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.commit_log is None:
+            self.commit_log = LocalFSCommitLog(self.ledger_dir)
 
     @property
     def data_dir(self) -> str:
+        import os
+
         return os.path.join(self.output_dir, "data")
 
     @property
     def ledger_dir(self) -> str:
+        import os
+
         return os.path.join(self.output_dir, "_ledger")
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.ledger_dir, f"{batch_id}.json"))
+        return self.commit_log.is_committed(batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if self.is_committed(batch_id):
             # retry / replay of an already-committed batch → exactly-once no-op
             return
         t0 = time.time()
-        os.makedirs(self.ledger_dir, exist_ok=True)
         target = os.path.join(self.data_dir, f"batch_id={batch_id}")
 
         # lineage/metrics in the same pass as the write (observe() avoids a
         # second scan of the batch; Counter/Distribution analogue of
-        # beam/BatchRequestForDLP.java:37-40)
+        # beam/BatchRequestForDLP.java:37-40). Per-partition counts are one
+        # array of conditional sums over spark_partition_id() — computed on
+        # the executors inside the write pass itself.
         from pyspark.sql import Observation
 
+        nparts = min(_partition_count(batch_df), LINEAGE_PARTITION_CAP)
+        # CollectMetrics only admits nondeterministic expressions as DIRECT
+        # aggregate arguments, so spark_partition_id() is materialized as a
+        # column UNDER the observe node (same stage as the write — the ids
+        # are the write tasks') and the metrics reference the plain attribute
+        batch_df = batch_df.withColumn(
+            "_lineage_pid", F.spark_partition_id() % F.lit(LINEAGE_PARTITION_CAP)
+        )
+        pid = F.col("_lineage_pid")
         obs = Observation(f"lineage_{batch_id}")
-        metrics_exprs = [F.count(F.lit(1)).alias("n_rows")]
+        metrics_exprs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            # one named conditional-count aggregate per planned partition
+            *[
+                F.sum(F.when(pid == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_p{i}")
+                for i in range(nparts)
+            ],
+            # planned-vs-executed drift (AQE coalesce, runtime re-plan):
+            # anything beyond the planned count lands here, so the total
+            # always reconciles with n_rows
+            F.sum(F.when(pid >= nparts, 1).otherwise(0)).cast("long").alias("_overflow_rows"),
+        ]
         if self.event_time_col in batch_df.columns:
             et = F.col(self.event_time_col).cast("timestamp")
             metrics_exprs += [
@@ -104,32 +135,40 @@ class IdempotentBatchSink:
             metrics_exprs.append(
                 F.approx_count_distinct(self.key_cols[0]).alias("approx_keys")
             )
-        observed = batch_df.observe(obs, *metrics_exprs)
+        observed = batch_df.observe(obs, *metrics_exprs).drop("_lineage_pid")
         writer = observed.write.mode("overwrite")
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
 
+        got = dict(obs.get)
+        partitions = [
+            {"partition": i, "rows": int(n)}
+            for i in range(nparts)
+            if (n := got.pop(f"_p{i}", 0))
+        ]
+        overflow = int(got.pop("_overflow_rows", 0) or 0)
+        if overflow:
+            partitions.append({"partition": "overflow", "rows": overflow})
         entry = {
             "batch_id": batch_id,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "wall_seconds": round(time.time() - t0, 3),
             "path": target,
-            "metrics": obs.get,
-            # per-partition lineage: one row-count per written task partition,
-            # read from parquet footers (metadata only — no data re-scan)
-            "partitions": _partition_lineage(target),
+            "metrics": got,
+            # per-partition lineage: one row-count per write-stage partition,
+            # computed executor-side in the write pass (no driver file I/O)
+            "partitions": partitions,
         }
-        tmp = os.path.join(self.ledger_dir, f".{batch_id}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.rename(tmp, os.path.join(self.ledger_dir, f"{batch_id}.json"))  # atomic commit point
+        self.commit_log.commit(batch_id, entry)
 
     # -- read side ---------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:
         """Read back only ledger-committed batches (dirty/aborted batch
         directories without a ledger entry are invisible — snapshot-isolation
         analogue)."""
+        import os
+
         ids = self.committed_ids()
         if not ids:
             raise FileNotFoundError(f"no committed batches under {self.output_dir}")
@@ -137,15 +176,7 @@ class IdempotentBatchSink:
         return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def committed_ids(self) -> list[int]:
-        if not os.path.isdir(self.ledger_dir):
-            return []
-        return sorted(
-            int(f[:-5]) for f in os.listdir(self.ledger_dir) if f.endswith(".json")
-        )
+        return self.commit_log.committed_ids()
 
     def lineage(self) -> list[dict]:
-        out = []
-        for i in self.committed_ids():
-            with open(os.path.join(self.ledger_dir, f"{i}.json")) as f:
-                out.append(json.load(f))
-        return out
+        return [self.commit_log.entry(i) for i in self.committed_ids()]

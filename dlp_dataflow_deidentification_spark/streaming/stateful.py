@@ -119,8 +119,20 @@ def batched_requests(
         if order_col is not None:
             pdf = pdf.sort_values(order_col, kind="mergesort")
         # fillna BEFORE astype(str): astype would turn None into the literal
-        # 4-char string "None", charging null payloads 4 bytes
-        return pdf[payload_col].fillna("").astype(str).str.len().astype("int64").to_numpy()
+        # 4-char string "None", charging null payloads 4 bytes.
+        # Size = UTF-8 BYTES, not codepoints: the reference budgets
+        # Table.Row.getSerializedSize() (beam/BatchRequestForDLP.java:62-66),
+        # which is proto-serialized UTF-8 — a codepoint count would under-
+        # charge non-ASCII payloads up to 4x and overshoot max_batch_bytes.
+        return (
+            pdf[payload_col]
+            .fillna("")
+            .astype(str)
+            .str.encode("utf-8")
+            .str.len()
+            .astype("int64")
+            .to_numpy()
+        )
 
     wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
@@ -240,7 +252,9 @@ def conversation_assembler(
             # min() (not just the n==1 row): a late within-watermark row in a
             # LATER micro-batch can precede the carried session's start
             first_ms = int(ms[i]) if n == 1 else min(first_ms, int(ms[i]))
-            last_ms = max(last_ms, int(ms[i]))
+            # same n==1 seeding as first_ms: a bare max() against the 0
+            # initializer would pin pre-1970 (negative-ms) sessions to 0
+            last_ms = int(ms[i]) if n == 1 else max(last_ms, int(ms[i]))
         return out, (n, npii, first_ms, last_ms)
 
     if not df.isStreaming:

@@ -72,7 +72,9 @@ class ConversationStatsProcessor(StatefulProcessor):
                 n += 1
                 npii += int(pii[i])
                 first_ms = int(ms[i]) if n == 1 else min(first_ms, int(ms[i]))
-                last_ms = max(last_ms, int(ms[i]))
+                # n==1 seeding (matching first_ms): max() against the 0
+                # initializer would pin pre-1970 negative-ms sessions to 0
+                last_ms = int(ms[i]) if n == 1 else max(last_ms, int(ms[i]))
         self.state.update((n, npii, first_ms, last_ms))
         # delete any timer registered for an earlier last_ms: a stale timer
         # would fire at old_last+gap and prematurely split a still-active

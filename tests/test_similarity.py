@@ -215,3 +215,25 @@ def test_cosine_topk_arrow_boundary_ties_keep_lowest_ids(spark):
     for rows in by_sim.values():
         ids_in_rank_order = [v for _, v in sorted(rows)]
         assert ids_in_rank_order == sorted(ids_in_rank_order)
+
+
+def test_cosine_topk_arrow_zero_norm_query_defined(spark):
+    """A zero-norm QUERY must score 0.0 against everything (same defined
+    edge-case as zero-norm corpus vectors) — an unguarded 0/0 would make
+    every sim for that query NaN with NaN-first ordering."""
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = similarity.cosine_topk_arrow(corpus, qs, k=3).collect()
+    z = [r for r in rows if r.query_id == 0]
+    assert len(z) == 3
+    assert all(r.sim == 0.0 for r in z)
+    # all-tied sims → vec_id ascending tie-break, like the native path
+    assert [r.vec_id for r in sorted(z, key=lambda r: r.rank)] == [0, 1, 2]
+    assert all(r.sim > 0 for r in rows if r.query_id == 1)

@@ -118,3 +118,54 @@ def test_conversation_assembler_stream_equals_batch_sessions(spark, tmp_path):
         for r in stateful.conversation_assembler(tdf, gap_ms=300_000).collect()
     }
     assert batch_got == want
+
+
+def test_batched_requests_budget_counts_utf8_bytes(spark, tmp_path):
+    # "é" is 1 codepoint / 2 UTF-8 bytes; "😀" is 1 codepoint (as Python
+    # sees it) / 4 bytes. The reference budgets Table.Row.getSerializedSize()
+    # — serialized UTF-8 bytes (beam/BatchRequestForDLP.java:62-66) — so a
+    # codepoint count would pack 2x-4x over budget on non-ASCII payloads.
+    rows = [
+        ("k", 0, "agent", "é" * 100, "N/A", "2026-01-01 00:00:00"),  # 200 B
+        ("k", 1, "agent", "é" * 100, "N/A", "2026-01-01 00:00:01"),  # 200 B
+        ("k", 2, "agent", "😀" * 30, "N/A", "2026-01-01 00:00:02"),  # 120 B
+        ("__flush__", 0, "agent", "f", "N/A", "2026-01-02 00:00:00"),
+    ]
+    d = _write_stream_input(spark, tmp_path, rows)
+    out = stateful.batched_requests(
+        jobs.read_transcript_stream(spark, d),
+        max_batch_bytes=450,
+        watermark="1 second",
+    )
+    got = {
+        r.batch_seq: (r.n_rows, r.n_bytes)
+        for r in _run_stream(spark, out, "batches_utf8").filter("key = 'k'").collect()
+    }
+    # byte-sized: 200+200=400 fits, +120 would overshoot 450 → [2 rows/400 B,
+    # 1 row/120 B]. A codepoint count (100+100+30=230) would emit ONE batch.
+    assert got == {0: (2, 400), 1: (1, 120)}
+
+
+def test_conversation_assembler_pre_epoch_timestamps(spark):
+    # negative-ms event times: last_ms must track the session's own max,
+    # not be pinned to the 0 initializer (which would also corrupt gap
+    # splits against later turns)
+    rows = [
+        ("c", 0, "agent", "hello", "N/A", "1969-12-31 22:00:00"),
+        ("c", 1, "agent", "world", "N/A", "1969-12-31 22:01:00"),
+        # > 5 min gap → second session, still pre-epoch
+        ("c", 2, "agent", "again", "N/A", "1969-12-31 22:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (r.first_ms, r.last_ms, r.n_turns)
+        for r in stateful.conversation_assembler(df, gap_ms=300_000).collect()
+    )
+    h22 = -7200_000  # 1969-12-31 22:00:00 UTC in ms
+    assert out == [
+        (h22, h22 + 60_000, 2),
+        (h22 + 1800_000, h22 + 1800_000, 1),
+    ]
