@@ -117,3 +117,37 @@ def aes_siv_decrypt(col: Column, key: bytes, strict: bool = True) -> Column:
         return s.map(one)
 
     return _dec(col)
+
+
+def crypto_hash_hmac(col: Column, key: str, encoding: str = "base64") -> Column:
+    """Strict HMAC-SHA-256 cryptoHashConfig (RFC 2104) — token-level parity
+    with the reference's actual construction: deid-template.json:17-27 wraps
+    an HMAC-SHA-256 under a KMS-held key, and the DLP service emits the MAC
+    base64-encoded (``encoding="hex"`` for the engine-native hex shape).
+
+    Arrow-batched pandas UDF over stdlib ``hmac`` (C-backed digest). The
+    default engine path stays ``transforms.crypto_hash`` — the native
+    ``sha256(key || value)`` form (JVM-side, oracle-expressible); both are
+    keyed/deterministic/irreversible, but only this one reproduces real DLP
+    output bit-for-bit, so use it (template knob ``hash_mode="hmac"``) when
+    migrating data that must match tokens minted by the reference pipeline.
+    """
+    if encoding not in ("base64", "hex"):
+        raise ValueError(f"encoding must be 'base64' or 'hex', got {encoding!r}")
+    kb = key.encode()
+    b64 = encoding == "base64"
+
+    @F.pandas_udf(StringType())
+    def _mac(s: pd.Series) -> pd.Series:
+        import hashlib
+        import hmac as _hmac
+
+        def one(v):
+            if v is None:
+                return None
+            d = _hmac.new(kb, str(v).encode(), hashlib.sha256)
+            return base64.b64encode(d.digest()).decode() if b64 else d.hexdigest()
+
+        return s.map(one)
+
+    return _mac(col)

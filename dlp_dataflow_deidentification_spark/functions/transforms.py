@@ -84,13 +84,19 @@ def character_mask(
     maskable characters. Skipped characters are preserved and do not count.
 
     Implementation stays JVM-native: when there are no skip characters a
-    single substring/repeat expression suffices; with skip characters a
-    per-character higher-order aggregate walks the cell once, masking the
-    first N non-skipped characters. (An earlier chained-regexp form had to
-    add the mask character itself to the skip class to avoid re-masking its
-    own output — which wrongly SKIPPED pre-existing mask characters in the
-    input and masked more than N characters; the aggregate counts maskable
-    characters exactly, including literal mask chars in the data.)
+    single substring/repeat expression suffices; with skip characters the
+    cut position is found ARITHMETICALLY — one anchored regex
+    ``^(?:[skip]*[^skip]){N}`` matches the shortest prefix containing
+    exactly N maskable characters, everything maskable inside that prefix
+    is masked with one regexp_replace, and the suffix passes through
+    verbatim. All O(len) per cell. (An earlier higher-order aggregate
+    folded the output one character at a time — a string concat per
+    character, O(len²) bytes copied, quadratic on long free-text cells; an
+    even earlier chained-regexp form had to add the mask character itself
+    to the skip class to avoid re-masking its own output, which wrongly
+    SKIPPED pre-existing mask characters in the input. The prefix regex
+    counts maskable characters exactly, including literal mask chars in
+    the data.)
     """
     s = col.cast("string")
     m = masking_character
@@ -114,30 +120,22 @@ def character_mask(
             F.substring(s, n + 1, 2147483647),
         )
 
-    # skip characters present: one per-character pass with a running count
-    # of masked characters (exactly number_to_mask non-skipped chars masked)
-    chars = F.split(s, "")
-    if reverse_order:
-        chars = F.reverse(chars)
-
-    def _is_skip(c):
-        return F.instr(F.lit(characters_to_skip), c) >= 1
-
-    folded = F.aggregate(
-        chars,
-        F.struct(F.lit("").alias("s"), F.lit(0).alias("k")),
-        lambda acc, c: F.struct(
-            F.concat(
-                acc["s"],
-                F.when(_is_skip(c) | (acc["k"] >= F.lit(number_to_mask)), c).otherwise(
-                    F.lit(m)
-                ),
-            ).alias("s"),
-            (acc["k"] + F.when(_is_skip(c), F.lit(0)).otherwise(F.lit(1))).alias("k"),
+    # skip characters present: arithmetic cut. The anchored prefix regex
+    # consumes (any skips + one maskable) exactly number_to_mask times, so
+    # its match length IS the cut position; no match = fewer than N
+    # maskable characters in the cell → mask the whole cell.
+    klass = _char_class(characters_to_skip)
+    work = F.reverse(s) if reverse_order else s
+    prefix_pat = f"^(?:[{klass}]*[^{klass}]){{{number_to_mask}}}"
+    plen = F.length(F.regexp_extract(work, prefix_pat, 0))
+    plen = F.when(plen > 0, plen).otherwise(F.length(work))
+    masked = F.concat(
+        F.regexp_replace(
+            work.substr(F.lit(1), plen), f"[^{klass}]", _java_repl_escape(m)
         ),
-        lambda acc: acc["s"],
+        work.substr(plen + F.lit(1), F.length(work)),
     )
-    return F.reverse(folded) if reverse_order else folded
+    return F.reverse(masked) if reverse_order else masked
 
 
 def _repeat_mask(s: Column, m: str) -> Column:

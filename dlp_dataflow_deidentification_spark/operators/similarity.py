@@ -369,7 +369,24 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("cv"),
         _cell_of(_as_double(F.col(vec_col)), cents).alias("cell"),
     )
-    # top-nprobe cells per query: argsort centroid sims desc (index asc ties)
+    q = _probed_queries(queries, cents, nprobe, query_id_col, vec_col)
+    scored = cells.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def _probed_queries(
+    queries: DataFrame, cents: "list[list[float]]", nprobe: int,
+    query_id_col: str, vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cell): one row per (query, probed cell) — the
+    top-nprobe cells by centroid cosine (argsort desc, index asc ties)."""
     sims = F.transform(_centroid_lit(cents), lambda ct: cosine(F.col("qv"), ct))
     ranked = F.array_sort(
         F.transform(
@@ -377,9 +394,70 @@ def ivf_topk(
         )
     )
     probes = F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cell"])
-    q = queries.select(
+    return queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).select("query_id", "qv", F.explode(probes).alias("cell"))
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    train_fraction: "float | None" = None,
+) -> "list[list[float]]":
+    """Materialize the IVF index ONCE: the corpus written partitioned by
+    cell id (``path/cell=<i>/`` — the inverted lists as physical parquet
+    partitions), centroids saved alongside as ``_centroids.json`` (the
+    index header; k·dim doubles — driver-tiny). This is the 100 TB shape
+    the docstring of ``ivf_topk`` promises: after this one write, every
+    probe query scans ~nprobe/n_cells of the data via PARTITION PRUNING —
+    the skipped cells' files are never opened (asserted on the plan by
+    ``tests/test_similarity.py::test_ivf_indexed_partition_pruning``)."""
+    import json
+    import os
+
+    cents = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col, dim, train_fraction)
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        _cell_of(_as_double(F.col(vec_col)), cents).alias("cell"),
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a materialized index (``ivf_index_write``): the probe
+    set (union of every query's top-nprobe cells — at most n_cells integers,
+    collected driver-side from the tiny query set) becomes a LITERAL
+    partition filter, so the parquet scan opens only the probed cells'
+    partitions (``PartitionFilters`` in the plan; files of skipped cells are
+    never listed into tasks). The per-query cell join then restricts each
+    query to ITS OWN probes within that superset. Results are identical to
+    ``ivf_topk`` on the same corpus/quantizer."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = json.load(f)
+    q = _probed_queries(queries, cents, nprobe, query_id_col, vec_col)
+    # ≤ n_cells ints: the partition-pruning predicate, not row data
+    probe_cells = sorted(r.cell for r in q.select("cell").distinct().collect())
+    cells = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     scored = cells.join(F.broadcast(q), "cell").select(
         "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
     )

@@ -81,6 +81,7 @@ class DeidTemplate:
         crypto_key: "str | None" = None,
         custom_infotypes: dict[str, infotypes.InfoType] | None = None,
         deterministic_mode: str = "siv",
+        hash_mode: str = "sha256",
     ) -> "DeidTemplate":
         doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
@@ -133,7 +134,7 @@ class DeidTemplate:
             out.transformations.append(
                 FieldTransformation(
                     fields_,
-                    _primitive(prim, crypto_key, deterministic_mode),
+                    _primitive(prim, crypto_key, deterministic_mode, hash_mode),
                     list(prim)[0],
                 )
             )
@@ -208,10 +209,23 @@ def _require_key(crypto_key: "str | None", which: str) -> str:
 
 
 def _primitive(
-    prim: dict, crypto_key: "str | None", deterministic_mode: str = "siv"
+    prim: dict,
+    crypto_key: "str | None",
+    deterministic_mode: str = "siv",
+    hash_mode: str = "sha256",
 ) -> Callable[[Column], Column]:
     if "cryptoHashConfig" in prim:
         crypto_key = _require_key(crypto_key, "cryptoHashConfig")
+        # "sha256" (default): native keyed-prefix sha256(key || value) —
+        # JVM-side, oracle-expressible. "hmac": strict HMAC-SHA-256, the
+        # reference template's actual construction (deid-template.json:17-27)
+        # — bit-identical to real DLP tokens, pandas-UDF path
+        # (crypto.crypto_hash_hmac).
+        if hash_mode == "hmac":
+            key = crypto_key
+            return lambda c: crypto.crypto_hash_hmac(c, key)
+        if hash_mode != "sha256":
+            raise ValueError(f"hash_mode must be 'sha256' or 'hmac', got {hash_mode!r}")
         return lambda c: transforms.crypto_hash(c, crypto_key)
     if "cryptoDeterministicConfig" in prim:
         crypto_key = _require_key(crypto_key, "cryptoDeterministicConfig")

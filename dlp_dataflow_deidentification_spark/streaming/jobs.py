@@ -80,6 +80,34 @@ def read_transcript_stream(
     return reader.parquet(input_dir)
 
 
+def deid_sessions_stream(
+    spark: SparkSession,
+    template: DeidTemplate,
+    input_dir: str,
+    gap_ms: int = 1_800_000,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """DEID → stateful conversation assembly as ONE streaming query.
+
+    The de-identification stage is a stateless narrow projection (the whole
+    regexp chain fuses into one WholeStageCodegen span), so chaining it
+    under the ``applyInPandasWithState`` session machine costs no extra
+    stage or shuffle beyond the assembler's own groupBy — one query, one
+    stateful operator, per-conversation session records over TOKENIZED text
+    (n_pii_turns counts the [INFO_TYPE] surrogates the deid stage minted).
+    Batch equivalent: ``conversation_assembler(deidentify(df, template))``
+    (driver query ``conv_sessions``); stream≡batch equality is pinned by
+    ``tests/test_stateful.py::test_deid_sessions_single_query_stream``.
+    """
+    from .stateful import conversation_assembler
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    return conversation_assembler(
+        deidentify(stream, template), gap_ms=gap_ms, watermark=watermark
+    )
+
+
 @dataclass
 class StreamingDeidJob:
     """Streaming pipeline: source → INSPECT/DEID/REID → exactly-once sink.

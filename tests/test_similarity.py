@@ -237,3 +237,43 @@ def test_cosine_topk_arrow_zero_norm_query_defined(spark):
     # all-tied sims → vec_id ascending tie-break, like the native path
     assert [r.vec_id for r in sorted(z, key=lambda r: r.rank)] == [0, 1, 2]
     assert all(r.sim > 0 for r in rows if r.query_id == 1)
+
+
+def test_ivf_indexed_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized IVF index (corpus written partitionBy(cell)) must
+    serve probe queries through PARTITION PRUNING — the plan's scan carries
+    a PartitionFilters entry on cell and reads fewer partitions than
+    n_cells — with results identical to the recompute-everything ivf_topk
+    on the same quantizer."""
+    from pyspark.sql import functions as F
+
+    from dlp_dataflow_deidentification_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    S.ivf_index_write(emb, idx, n_cells=8, iters=2)
+
+    out = S.ivf_topk_indexed(spark, idx, qs, k=10, nprobe=2)
+    got = {(r.query_id, r.vec_id, r.rank) for r in out.collect()}
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in S.ivf_topk(emb, qs, k=10, n_cells=8, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert m, plan  # the scan must be partition-filtered, not full
+    assert "cell" in m[0] and "in" in m[0].lower(), m[0]
+    # the probed-cell superset is a strict subset of the index partitions
+    probed = {
+        r.cell
+        for r in S._probed_queries(
+            qs, __import__("json").load(open(f"{idx}/_centroids.json")), 2,
+            "query_id", "embedding",
+        ).select("cell").distinct().collect()
+    }
+    assert len(probed) < 8

@@ -169,3 +169,60 @@ def test_conversation_assembler_pre_epoch_timestamps(spark):
         (h22, h22 + 60_000, 2),
         (h22 + 1800_000, h22 + 1800_000, 1),
     ]
+
+
+def test_deid_sessions_single_query_stream(spark, tmp_path):
+    """Round-4 composition: deid → conversation assembler chained in ONE
+    streaming query (stateless tokenization projection under the stateful
+    session machine). Asserts (a) exactly one stateful operator ran, (b)
+    the output equals the batch composition deidentify→assembler, (c) the
+    PII counts are non-trivial (the deid stage really minted surrogates
+    before the stateful stage consumed them)."""
+    import os
+
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 2000, n_conversations=40)
+    d = str(tmp_path / "deid_sess_in")
+    tdf.coalesce(2).write.mode("append").parquet(d)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.write.mode("append").parquet(d)
+
+    template = dds.DeidTemplate.from_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs/deid_transcripts.json"),
+        crypto_key="0123456789abcdef",
+    )
+    out = jobs.deid_sessions_stream(
+        spark, template, d, gap_ms=300_000, watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deid_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns)
+        for r in spark.table("deid_sess").filter("conv_id <> '__flush__'").collect()
+    }
+    # exactly ONE stateful operator in the query (the session machine); the
+    # deid stage fused in as a stateless projection
+    ops = [s["operatorName"] for s in (q.lastProgress or {}).get("stateOperators", [])]
+    assert ops == ["applyInPandasWithState"], ops
+
+    want = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns)
+        for r in stateful.conversation_assembler(
+            dds.deidentify(tdf, template), gap_ms=300_000
+        ).collect()
+    }
+    assert got == want and len(want) >= 30
+    assert sum(v[1] for v in want.values()) > 0  # surrogates actually minted

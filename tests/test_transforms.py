@@ -299,3 +299,98 @@ def test_bucketing_open_ended_bounds(spark):
     df = spark.createDataFrame([(-5,), (15,), (99,)], "v int")
     out = [r.b for r in df.select(transforms.bucketing(F.col("v"), bks, numeric).alias("b")).collect()]
     assert out == ["low", "mid", "high"]
+
+
+def test_character_mask_skip_long_input_linear(spark):
+    """100 kB cell through the skip-character path: the arithmetic-cut form
+    is O(len) per cell (the old per-character string-concat fold copied
+    O(len²) bytes — ~10 GB for this input). Asserts correctness on a long
+    mixed cell and that the whole call returns promptly."""
+    import time
+
+    long_cell = ("ab-" * 33000) + "xyz"  # ~102 kB, skips interleaved
+    t0 = time.time()
+    out = run1(
+        spark,
+        [long_cell],
+        lambda c: transforms.character_mask(c, "*", 4, False, "-"),
+    )
+    assert out == ["**-**-" + long_cell[6:]]
+    # reverse: mask the LAST 4 maskable chars
+    out_r = run1(
+        spark,
+        [long_cell],
+        lambda c: transforms.character_mask(c, "*", 4, True, "-"),
+    )
+    # last 4 maskable chars are b,x,y,z (the '-' is preserved in place)
+    assert out_r == [long_cell[:-6] + "a*-***"]
+    # mask char present in the DATA still counts as maskable (regression
+    # guard for the old chained-regexp bug)
+    out_d = run1(
+        spark, ["*a-b"], lambda c: transforms.character_mask(c, "*", 2, False, "-")
+    )
+    assert out_d == ["**-b"]
+    assert time.time() - t0 < 60  # generous; the quadratic form would hang
+
+
+def test_crypto_hash_hmac_bit_parity_with_python_hmac(spark):
+    """hash_mode='hmac' reproduces the reference template's ACTUAL
+    construction (deid-template.json:17-27: HMAC-SHA-256 under a key):
+    bit-equality against stdlib hmac, base64 like the DLP service emits;
+    hex shape optional. The native sha256(key||value) default is a
+    different (documented) construction."""
+    import base64
+    import hashlib
+    import hmac
+
+    vals = ["4111 1111 1111 1111", "", "héllo", None]
+    out64 = run1(spark, vals, lambda c: crypto.crypto_hash_hmac(c, KEY16))
+    outhex = run1(spark, vals, lambda c: crypto.crypto_hash_hmac(c, KEY16, "hex"))
+    for v, got64, gothex in zip(vals, out64, outhex):
+        if v is None:
+            assert got64 is None and gothex is None
+            continue
+        mac = hmac.new(KEY16.encode(), v.encode(), hashlib.sha256)
+        assert got64 == base64.b64encode(mac.digest()).decode()
+        assert gothex == mac.hexdigest()
+    # differs from the native keyed-prefix construction (same contract,
+    # different bits — the documented deviation this mode closes)
+    native = run1(spark, ["x"], lambda c: transforms.crypto_hash(c, KEY16))
+    assert outhex[0] != native[0]
+
+    with pytest.raises(ValueError, match="encoding"):
+        crypto.crypto_hash_hmac(F.col("v"), KEY16, "raw")
+
+
+def test_template_hash_mode_knob(spark):
+    """The template compiler selects the HMAC path via hash_mode='hmac'
+    (like deterministic_mode selects the cipher)."""
+    import base64
+    import hashlib
+    import hmac
+
+    from dlp_dataflow_deidentification_spark.plans.config import DeidTemplate
+
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "v"}],
+                        "primitiveTransformation": {"cryptoHashConfig": {
+                            "cryptoKey": {"kmsWrapped": {}}}},
+                    }
+                ]
+            }
+        }
+    }
+    t = DeidTemplate.from_dict(doc, crypto_key=KEY16, hash_mode="hmac")
+    df = col_of(spark, ["552-09-6781"])
+    out = [r.v for r in __import__("dlp_dataflow_deidentification_spark").deidentify(df, t).collect()]
+    want = base64.b64encode(
+        hmac.new(KEY16.encode(), b"552-09-6781", hashlib.sha256).digest()
+    ).decode()
+    assert out == [want]
+
+    with pytest.raises(ValueError, match="hash_mode"):
+        DeidTemplate.from_dict(doc, crypto_key=KEY16, hash_mode="md5")
