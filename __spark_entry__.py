@@ -342,6 +342,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a MATERIALIZED index: the corpus is written ONCE partitioned
+    by cell id (the inverted lists as physical parquet partitions +
+    _centroids.json header — operators/similarity.py::ivf_index_write), and
+    probes are served through PARTITION PRUNING (a literal cell filter in
+    the scan; skipped cells' files never open). Same quantizer/nprobe as
+    ivf_topk, same EXACT-ranking oracle — hash-match certifies that the
+    pruned-scan path also has recall@10 = 1.0."""
+    import tempfile
+
+    from dlp_dataflow_deidentification_spark.operators import similarity
+
+    corpus = _ann_corpus(spark, sf_dir)
+    qs = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_index_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    similarity.ivf_index_write(
+        corpus, idx, n_cells=8, iters=2, train_fraction=0.25
+    )
+    out = similarity.ivf_topk_indexed(spark, idx, qs, k=10, nprobe=3)
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over a PERTURBED-copy corpus: copy k of base v is
     v + 0.05k·reverse(v) (sims ≈ 0.9988 / 0.9950 / 0.989 — straddling the
@@ -613,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_arrow": q_cosine_topk_arrow,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "embedding_dedup": q_embedding_dedup,
         "text_metrics": q_text_metrics,
         "session_windows": q_session_windows,
@@ -747,6 +775,9 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk scans only nprobe k-means cells; its oracle is the same
         # exact ranking — equality certifies IVF recall@10 = 1.0 here too
         "ivf_topk": _ann_lsh_oracle(),
+        # ...and the materialized-index form (partition-pruned scan) must
+        # reproduce the identical exact ranking
+        "ivf_topk_indexed": _ann_lsh_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "text_metrics": _text_metrics_oracle(),
         "corpus_curate": _corpus_curate_oracle(),

@@ -169,27 +169,40 @@ def _inspect_position_capped(
     combined array is ``array_sort``-ed on (column_idx, offset,
     detector_idx) and sliced to the cap.
 
+    FAST PATH: a row whose TOTAL finding count is <= cap emits every finding
+    untruncated — its survivor set is order-independent, so no offsets are
+    needed at all. Only over-cap rows (the minority in real corpora) take
+    the conditional branch that re-splits the text for segment lengths; the
+    CASE WHEN evaluates branches lazily per row, so the splits/folds are
+    never executed for in-cap rows.
+
     Plan-shape note (measured HOF-capture trap, operators/dedup.py): the
-    match/segment arrays are materialized as their own projection, and every
-    reference to them in the tagging stage is a WHOLE-ARRAY input to one
-    higher-order function — never captured inside a per-element lambda — so
-    the regexp/split subtrees are evaluated once per row even if Catalyst
-    collapses the projections. The per-element work touches only the
-    accumulator and the zipped element."""
+    match arrays are materialized as their own projection (and multi-
+    referenced, so CollapseProject keeps them un-inlined); every reference
+    in the tagging stage is a WHOLE-ARRAY input to one higher-order
+    function — never captured inside a per-element lambda — so regexp/split
+    subtrees are evaluated at most once per row. The per-element work
+    touches only the accumulator and the zipped element."""
     proj = [F.col(c) for c in id_columns]
+    pats = {}
     for ci, col in enumerate(text_columns):
         txt = F.coalesce(F.col(col), F.lit(""))
+        # keep the coalesced text for the lazy split branch
+        proj.append(txt.alias(f"__t_{ci}"))
         for di, it in enumerate(dets):
+            pats[(ci, di)] = it.pattern
             proj.append(
                 F.regexp_extract_all(txt, F.lit(it.pattern), F.lit(0)).alias(
                     f"__m_{ci}_{di}"
                 )
             )
-            proj.append(F.split(txt, it.pattern, -1).alias(f"__s_{ci}_{di}"))
     stage1 = df.select(*proj)
 
     def _tagged(ci: int, col: str, di: int, it) -> "F.Column":
-        m, s = F.col(f"__m_{ci}_{di}"), F.col(f"__s_{ci}_{di}")
+        m = F.col(f"__m_{ci}_{di}")
+        # split lives INSIDE the over-cap branch: whole-array input to one
+        # zip_with → evaluated once per row, and only for rows that need it
+        s = F.split(F.col(f"__t_{ci}"), it.pattern, -1)
         # (segment-before-match, match) pairs; n segments for n matches
         zipped = F.zip_with(
             F.slice(s, 1, F.size(m)),
@@ -228,17 +241,37 @@ def _inspect_position_capped(
             lambda acc: acc["arr"],
         )
 
-    tagged = [
-        _tagged(ci, col, di, it)
+    def _plain(ci: int, col: str, di: int, it) -> "F.Column":
+        # untruncated tag (fast path): no positions, just the output fields
+        m = F.col(f"__m_{ci}_{di}")
+        return F.transform(
+            m,
+            lambda q: F.struct(
+                F.lit(col).alias("field_id"),
+                F.lit(it.name).alias("info_type_name"),
+                F.lit(it.likelihood).alias("likelihood"),
+                (q if include_quote else F.lit(None).cast("string")).alias("quote"),
+            ),
+        )
+
+    pairs = [
+        (ci, col, di, it)
         for ci, col in enumerate(text_columns)
         for di, it in enumerate(dets)
     ]
+    total = None
+    for ci, _col, di, _it in pairs:
+        sz = F.size(F.col(f"__m_{ci}_{di}"))
+        total = sz if total is None else total + sz
+
     # default struct comparator = lexicographic on fields in order:
     # (_col, _pos, _det) is a total order (a detector cannot match twice at
     # one offset), so the string fields never tie-break
-    findings = F.slice(F.array_sort(F.flatten(F.array(*tagged))), 1, cap)
-    final = F.transform(
-        findings,
+    sorted_slice = F.slice(
+        F.array_sort(F.flatten(F.array(*[_tagged(*p) for p in pairs]))), 1, cap
+    )
+    stripped = F.transform(
+        sorted_slice,
         lambda f: F.struct(
             f["field_id"].alias("field_id"),
             f["info_type_name"].alias("info_type_name"),
@@ -246,6 +279,8 @@ def _inspect_position_capped(
             f["quote"].alias("quote"),
         ),
     )
+    simple = F.flatten(F.array(*[_plain(*p) for p in pairs]))
+    final = F.when(total <= F.lit(cap), simple).otherwise(stripped)
     return stage1.select(
         *[F.col(c) for c in id_columns], F.explode(final).alias("f")
     ).select(*id_columns, "f.*")
