@@ -354,13 +354,18 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    corpus = _ann_corpus(spark, sf_dir)
+    # persist: the index build evaluates the corpus five times (seed collect,
+    # two Lloyd rounds, cell-assignment write, query projection) — cache the
+    # union+explode once instead of recomputing it per pass
+    corpus = _ann_corpus(spark, sf_dir).persist()
     qs = corpus.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # per-process path: concurrent driver/bench runs must not race on one
+    # shared index directory (overwrite-while-scanning)
     idx = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_ivf_index_" + os.path.basename(sf_dir.rstrip("/")),
+        f"spark_graft_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     similarity.ivf_index_write(
         corpus, idx, n_cells=8, iters=2, train_fraction=0.25

@@ -184,13 +184,11 @@ def _inspect_position_capped(
     subtrees are evaluated at most once per row. The per-element work
     touches only the accumulator and the zipped element."""
     proj = [F.col(c) for c in id_columns]
-    pats = {}
     for ci, col in enumerate(text_columns):
         txt = F.coalesce(F.col(col), F.lit(""))
         # keep the coalesced text for the lazy split branch
         proj.append(txt.alias(f"__t_{ci}"))
         for di, it in enumerate(dets):
-            pats[(ci, di)] = it.pattern
             proj.append(
                 F.regexp_extract_all(txt, F.lit(it.pattern), F.lit(0)).alias(
                     f"__m_{ci}_{di}"

@@ -411,15 +411,16 @@ def ivf_index_write(
 ) -> "list[list[float]]":
     """Materialize the IVF index ONCE: the corpus written partitioned by
     cell id (``path/cell=<i>/`` — the inverted lists as physical parquet
-    partitions), centroids saved alongside as ``_centroids.json`` (the
-    index header; k·dim doubles — driver-tiny). This is the 100 TB shape
-    the docstring of ``ivf_topk`` promises: after this one write, every
-    probe query scans ~nprobe/n_cells of the data via PARTITION PRUNING —
-    the skipped cells' files are never opened (asserted on the plan by
+    partitions), centroids saved alongside under ``path/_centroids`` (the
+    index header; k·dim doubles — tiny). The header is written/read THROUGH
+    Spark, so the index works on any Hadoop-compatible filesystem (HDFS,
+    s3a, …), not just driver-local paths; parquet keeps the doubles
+    bit-exact, and the ``_``-prefixed directory is invisible to the data
+    scan. This is the 100 TB shape the docstring of ``ivf_topk`` promises:
+    after this one write, every probe query scans ~nprobe/n_cells of the
+    data via PARTITION PRUNING — the skipped cells' files are never opened
+    (asserted on the plan by
     ``tests/test_similarity.py::test_ivf_indexed_partition_pruning``)."""
-    import json
-    import os
-
     cents = kmeans_centroids(corpus, n_cells, iters, id_col, vec_col, dim, train_fraction)
     cells = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -427,9 +428,20 @@ def ivf_index_write(
         _cell_of(_as_double(F.col(vec_col)), cents).alias("cell"),
     )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(cents, f)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(_header_path(path))
     return cents
+
+
+def _header_path(path: str) -> str:
+    return path.rstrip("/") + "/_centroids"
+
+
+def _read_centroids(spark, path: str) -> "list[list[float]]":
+    rows = spark.read.parquet(_header_path(path)).collect()
+    return [list(r.centroid) for r in sorted(rows, key=lambda r: r.cell)]
 
 
 def ivf_topk_indexed(
@@ -449,11 +461,7 @@ def ivf_topk_indexed(
     never listed into tasks). The per-query cell join then restricts each
     query to ITS OWN probes within that superset. Results are identical to
     ``ivf_topk`` on the same corpus/quantizer."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cents = json.load(f)
+    cents = _read_centroids(spark, path)
     q = _probed_queries(queries, cents, nprobe, query_id_col, vec_col)
     # ≤ n_cells ints: the partition-pruning predicate, not row data
     probe_cells = sorted(r.cell for r in q.select("cell").distinct().collect())

@@ -138,13 +138,16 @@ class IcebergCommitLog:
         )
 
     def commit(self, batch_id: int, entry: dict) -> None:
-        # The data append itself carries the properties (see class doc);
-        # commit() exists for ledger-only entries (e.g. an empty batch):
-        # stamp them via a metadata-only transaction.
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
-            f"('{BATCH_ID_PROP}.{batch_id}' = '{json.dumps(entry)}')"
-        )
+        # The data-carrying append normally IS the commit (write_options
+        # stamps the summary on that snapshot). commit() covers ledger-only
+        # entries — e.g. an empty batch — with an EMPTY append carrying the
+        # same summary properties, so the READ side (snapshot-summary
+        # filters below) sees every commit through one mechanism. No SQL
+        # string interpolation: the entry travels as a write option.
+        writer = self.spark.table(self.table).limit(0).writeTo(self.table)
+        for k, v in self.write_options(batch_id, entry).items():
+            writer = writer.option(k, v)
+        writer.append()
 
     def write_options(self, batch_id: int, entry: dict) -> dict:
         """Options for the data-carrying append (one atomic snapshot)."""
@@ -199,14 +202,23 @@ class LocalFSSchemaLedger:
 
     def put_if_absent(self, key: str, columns: list[str], source: str) -> list[str]:
         """Record ``columns`` for ``key`` unless a schema already exists;
-        returns the WINNING columns either way (keep-one)."""
+        returns the WINNING columns either way (keep-one). True first-writer-
+        wins: the publish step is ``os.link`` (exclusive create — fails with
+        EEXIST instead of clobbering, unlike rename), and the temp file name
+        is per-process, so two concurrent writers cannot corrupt each other
+        mid-write and the loser re-reads the winner's schema."""
         existing = self.get(key)
         if existing is not None:
             return existing
         p = self._path(key)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        tmp = f"{p}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump({"columns": columns, "source": source}, f)
-        os.rename(tmp, p)
+        try:
+            os.link(tmp, p)  # atomic publish; EEXIST = another writer won
+        except FileExistsError:
+            return self.get(key)  # keep-one: the first writer's schema
+        finally:
+            os.unlink(tmp)
         return columns

@@ -38,9 +38,11 @@ from pyspark.sql import functions as F
 
 from .commitlog import CommitLog, LocalFSCommitLog
 
-# one observe() aggregate per write partition; batches planned wider than
-# this fold into pid % cap buckets so the metric row stays bounded
-LINEAGE_PARTITION_CAP = 1024
+# one observe() aggregate per lineage bucket, each evaluated PER ROW in the
+# write pass — bounded so a wide batch (thousands of planned partitions)
+# cannot turn lineage into O(partitions) CASE WHENs per row: above the cap,
+# buckets are pid % cap groups (the entry records the fold factor)
+LINEAGE_MAX_BUCKETS = 64
 
 
 def _partition_count(batch_df: DataFrame) -> int:
@@ -101,29 +103,32 @@ class IdempotentBatchSink:
         # the executors inside the write pass itself.
         from pyspark.sql import Observation
 
-        nparts = min(_partition_count(batch_df), LINEAGE_PARTITION_CAP)
+        planned = _partition_count(batch_df)
+        nparts = min(planned, LINEAGE_MAX_BUCKETS)
         # CollectMetrics only admits nondeterministic expressions as DIRECT
         # aggregate arguments, so spark_partition_id() is materialized as a
         # column UNDER the observe node (same stage as the write — the ids
-        # are the write tasks') and the metrics reference the plain attribute
+        # are the write tasks') and the metrics reference the plain attribute.
+        # The helper column name is collision-proofed against user columns.
+        pid_col = "_lineage_pid"
+        while pid_col in batch_df.columns:
+            pid_col += "_"
         batch_df = batch_df.withColumn(
-            "_lineage_pid", F.spark_partition_id() % F.lit(LINEAGE_PARTITION_CAP)
+            pid_col, F.spark_partition_id() % F.lit(nparts)
         )
-        pid = F.col("_lineage_pid")
+        pid = F.col(pid_col)
         obs = Observation(f"lineage_{batch_id}")
         metrics_exprs = [
             F.count(F.lit(1)).alias("n_rows"),
-            # one named conditional-count aggregate per planned partition
+            # one named conditional-count aggregate per lineage bucket; the
+            # modulo also absorbs planned-vs-executed drift (AQE coalesce,
+            # runtime re-plan), so the total always reconciles with n_rows
             *[
                 F.sum(F.when(pid == i, 1).otherwise(0))
                 .cast("long")
                 .alias(f"_p{i}")
                 for i in range(nparts)
             ],
-            # planned-vs-executed drift (AQE coalesce, runtime re-plan):
-            # anything beyond the planned count lands here, so the total
-            # always reconciles with n_rows
-            F.sum(F.when(pid >= nparts, 1).otherwise(0)).cast("long").alias("_overflow_rows"),
         ]
         if self.event_time_col in batch_df.columns:
             et = F.col(self.event_time_col).cast("timestamp")
@@ -135,7 +140,7 @@ class IdempotentBatchSink:
             metrics_exprs.append(
                 F.approx_count_distinct(self.key_cols[0]).alias("approx_keys")
             )
-        observed = batch_df.observe(obs, *metrics_exprs).drop("_lineage_pid")
+        observed = batch_df.observe(obs, *metrics_exprs).drop(pid_col)
         writer = observed.write.mode("overwrite")
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
@@ -147,18 +152,18 @@ class IdempotentBatchSink:
             for i in range(nparts)
             if (n := got.pop(f"_p{i}", 0))
         ]
-        overflow = int(got.pop("_overflow_rows", 0) or 0)
-        if overflow:
-            partitions.append({"partition": "overflow", "rows": overflow})
         entry = {
             "batch_id": batch_id,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "wall_seconds": round(time.time() - t0, 3),
             "path": target,
             "metrics": got,
-            # per-partition lineage: one row-count per write-stage partition,
+            # per-partition lineage: one row-count per write-stage partition
+            # (pid % bucket group when the batch is planned wider than
+            # LINEAGE_MAX_BUCKETS — planned_partitions records the fold),
             # computed executor-side in the write pass (no driver file I/O)
             "partitions": partitions,
+            "planned_partitions": planned,
         }
         self.commit_log.commit(batch_id, entry)
 

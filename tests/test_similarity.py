@@ -272,8 +272,7 @@ def test_ivf_indexed_partition_pruning(spark, sf_dir, tmp_path):
     probed = {
         r.cell
         for r in S._probed_queries(
-            qs, __import__("json").load(open(f"{idx}/_centroids.json")), 2,
-            "query_id", "embedding",
+            qs, S._read_centroids(spark, idx), 2, "query_id", "embedding"
         ).select("cell").distinct().collect()
     }
     assert len(probed) < 8
