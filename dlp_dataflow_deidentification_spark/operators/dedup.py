@@ -471,6 +471,18 @@ def simhash_df(
     return per.select("id", functools.reduce(lambda a, b: a.bitwiseOR(b), bits).alias("sh"))
 
 
+def _block_layout(n_bits: int, n_blocks: int) -> "list[tuple[int, int]]":
+    """(shift, width) per block, widths as equal as possible, covering
+    n_bits exactly."""
+    base_w, extra = divmod(n_bits, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base_w + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -478,47 +490,65 @@ def simhash_pairs(
     max_hamming: int = 3,
     portable: bool = False,
     max_bucket: "int | None" = None,
+    n_blocks: "int | None" = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole: split
-    the hash into 4 chunks — any pair within distance 3 agrees on ≥1 chunk.
-    Output: id_a < id_b, hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming (exact output —
+    the candidate stage is recall-lossless). Output: id_a < id_b, hamming.
 
-    Candidates use the same ids-only bucket-combination machinery as the
-    minhash/ngram family (``_pairs_from_buckets``): membership rows carry
-    (id, 8-byte chunk key), distinct pairs are enumerated inside each bucket,
-    and the two 64-bit fingerprints are re-attached ONCE per surviving pair
-    (the earlier chunk self-join shipped both fingerprints through a 4x
-    chunk-duplicated join — measured 783 s on a 500k-doc 100x-duplicated
-    stress corpus; this form runs the same stress in ~half that, memory-flat).
+    Candidate keys are BLOCK COMBINATIONS (the Manku/Jain/Sarma web-dedup
+    scheme): the fingerprint splits into ``n_blocks`` blocks (default
+    ``max_hamming + 3``) and each doc emits one key per
+    C(n_blocks, n_blocks - max_hamming) combination of (n_blocks - d)
+    blocks. Pigeonhole: d flipped bits hit ≤ d blocks, so ≥ n_blocks - d
+    blocks agree and at least one combination key matches — recall stays
+    exact. The point vs the minimal d+1-chunk split (n_blocks=d+1, 15-bit
+    keys at 60 bits): combination keys carry ~(n_blocks-d)/n_blocks of the
+    fingerprint (30 bits here), so RANDOM collisions — which grow as
+    n²/2^key_bits and made the minimal split super-linear beyond ~500k
+    docs — shrink by ~2^15, at the price of 20 membership rows per doc
+    instead of 4. That is the right trade at 100 TB: membership is linear,
+    collisions are quadratic.
 
-    ``max_bucket`` is OFF by default because pigeonhole guarantees only ≥1
-    agreeing chunk: a pair whose 3 differing bits land in 3 distinct chunks
-    agrees on exactly ONE chunk, and dropping that one bucket would lose the
-    pair — unlike the minhash df-cap, there is no second chance. Exact
-    output (matching the all-pairs oracle) therefore requires no cap; set
-    ``max_bucket`` only as an explicit precision/cost trade on corpora with
-    pathological fingerprint bit-bias (a >max_bucket chunk bucket then
-    costs O(bucket²) candidate pairs, all exactly verified)."""
+    Candidates use the same ids-only bucket machinery as the minhash/ngram
+    family (``_pairs_from_buckets``): membership rows carry (id, 8-byte
+    key), distinct pairs are enumerated inside each bucket, and the two
+    fingerprints are re-attached ONCE per surviving pair (the earlier chunk
+    self-join shipped both fingerprints through a duplicated join —
+    measured 783 s on a 500k-doc stress corpus).
+
+    ``max_bucket`` is OFF by default: a pair with exactly n_blocks - d
+    agreeing blocks matches exactly ONE combination key, and dropping that
+    bucket would lose the pair — unlike the minhash df-cap, there is no
+    second chance. Set it only as an explicit precision/cost trade."""
+    from itertools import combinations
+
     n_bits = 60 if portable else 64
-    width = n_bits // 4
+    d = max_hamming
+    blocks = n_blocks if n_blocks is not None else d + 3
+    if blocks < d + 1:
+        raise ValueError(f"n_blocks must be >= max_hamming + 1, got {blocks}")
+    layout = _block_layout(n_bits, blocks)
+    combos = list(combinations(range(blocks), blocks - d))
     # cached once (lineage kept): feeds both candidate generation and the
     # fingerprint re-attach joins
     base = simhash_df(df, text_col, id_col, portable).persist()
-    # chunk key = (v << 2) | c packs (chunk index, chunk value) into one long
+
+    def _combo_key(ci: int, combo: "tuple[int, ...]"):
+        # one 8-byte key per combination: xxhash64 of (combination index,
+        # block values). Equal block tuples always hash equal → recall is
+        # unaffected; a 2^-64 hash collision only adds a false CANDIDATE,
+        # which the exact hamming verify discards. Hashing (vs arithmetic
+        # packing) also sidesteps ANSI-mode long overflow for wide combos.
+        vals = [F.lit(ci)]
+        for b in combo:
+            shift, w = layout[b]
+            vals.append(F.shiftright("sh", shift).bitwiseAND(F.lit((1 << w) - 1)))
+        return F.xxhash64(*vals)
+
     member = base.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    (
-                        F.shiftright("sh", width * c)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        * F.lit(4)
-                        + F.lit(c)
-                    ).alias(f"k{c}")
-                    for c in range(4)
-                ]
-            )
+            F.array(*[_combo_key(ci, c) for ci, c in enumerate(combos)])
         ).alias("bucket"),
     )
     cands = _pairs_from_buckets(member, "bucket", max_bucket)

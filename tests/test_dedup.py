@@ -115,3 +115,53 @@ def test_exact_dedup_shuffles_digest_not_text(spark, docs):
     assert "md5" in plan
     assert "__digest" in plan
     assert "__norm" not in plan  # full-text key eliminated (round-1 finding)
+
+
+def test_simhash_block_combination_recall_edge(spark):
+    """Pigeonhole edge for the combination scheme: a pair at EXACTLY
+    max_hamming with its differing bits in distinct blocks agrees on
+    exactly (n_blocks - d) blocks — one combination key — and must still be
+    found; a pair beyond the radius must not. Runs the candidate machinery
+    on synthetic fingerprints via the public pair API with doc texts chosen
+    to produce controlled fingerprints is brittle, so this drives the
+    layout math directly instead."""
+    from dlp_dataflow_deidentification_spark.operators.dedup import _block_layout
+
+    # layouts cover n_bits exactly, widths within 1 of each other
+    for n_bits, n_blocks in [(60, 6), (64, 6), (64, 4), (60, 4), (64, 7)]:
+        layout = _block_layout(n_bits, n_blocks)
+        assert sum(w for _, w in layout) == n_bits
+        assert layout[0][0] == 0
+        widths = [w for _, w in layout]
+        assert max(widths) - min(widths) <= 1
+        for (s1, w1), (s2, _w2) in zip(layout, layout[1:]):
+            assert s2 == s1 + w1  # contiguous, no overlap
+
+
+def test_simhash_pairs_equal_under_block_schemes(spark):
+    """The minimal d+1-chunk split (n_blocks=4) and the default combination
+    scheme (n_blocks=6, 20 keys) are both recall-lossless, so the PAIR SET
+    must be identical — only the candidate volume differs."""
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 7} "
+             f"word{i % 3} extra{i % 11} tail") for i in range(120)]
+        + [(1000 + i, f"alpha beta gamma delta epsilon zeta token{i % 7} "
+                      f"word{i % 3} extra{i % 11} tails") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=3, n_blocks=4).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert a == b and len(a) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_blocks"):
+        dedup.simhash_pairs(docs, max_hamming=3, n_blocks=3)
