@@ -501,13 +501,13 @@ def simhash_pairs(
     C(n_blocks, n_blocks - max_hamming) combination of (n_blocks - d)
     blocks. Pigeonhole: d flipped bits hit ≤ d blocks, so ≥ n_blocks - d
     blocks agree and at least one combination key matches — recall stays
-    exact. The point vs the minimal d+1-chunk split (n_blocks=d+1, 15-bit
-    keys at 60 bits): combination keys carry ~(n_blocks-d)/n_blocks of the
-    fingerprint (30 bits here), so RANDOM collisions — which grow as
-    n²/2^key_bits and made the minimal split super-linear beyond ~500k
-    docs — shrink by ~2^15, at the price of 20 membership rows per doc
-    instead of 4. That is the right trade at 100 TB: membership is linear,
-    collisions are quadratic.
+    exact. The point vs the minimal d+1-chunk split (n_blocks=d+1: 16-bit
+    keys at 64 bits, 15-bit in portable-60 mode): combination keys carry
+    ~(n_blocks-d)/n_blocks of the fingerprint (~32/30 bits here), so RANDOM
+    collisions — which grow as n²/2^key_bits and made the minimal split
+    super-linear beyond ~500k docs — shrink by ~2^16, at the price of 20
+    membership rows per doc instead of 4. That is the right trade at
+    100 TB: membership is linear, collisions are quadratic.
 
     Candidates use the same ids-only bucket machinery as the minhash/ngram
     family (``_pairs_from_buckets``): membership rows carry (id, 8-byte
@@ -542,7 +542,10 @@ def simhash_pairs(
         vals = [F.lit(ci)]
         for b in combo:
             shift, w = layout[b]
-            vals.append(F.shiftright("sh", shift).bitwiseAND(F.lit((1 << w) - 1)))
+            # w == 64 (n_blocks=1 with max_hamming=0): the all-ones mask
+            # is -1 as a signed long — (1 << 64) - 1 would not fit
+            mask = (1 << w) - 1 if w < 64 else -1
+            vals.append(F.shiftright("sh", shift).bitwiseAND(F.lit(mask)))
         return F.xxhash64(*vals)
 
     member = base.select(

@@ -117,7 +117,7 @@ def test_exact_dedup_shuffles_digest_not_text(spark, docs):
     assert "__norm" not in plan  # full-text key eliminated (round-1 finding)
 
 
-def test_simhash_block_combination_recall_edge(spark):
+def test_simhash_block_combination_recall_edge():
     """Pigeonhole edge for the combination scheme: a pair at EXACTLY
     max_hamming with its differing bits in distinct blocks agrees on
     exactly (n_blocks - d) blocks — one combination key — and must still be
@@ -165,3 +165,45 @@ def test_simhash_pairs_equal_under_block_schemes(spark):
 
     with pytest.raises(ValueError, match="n_blocks"):
         dedup.simhash_pairs(docs, max_hamming=3, n_blocks=3)
+
+
+def test_simhash_pairs_match_brute_force_hamming_truth(spark):
+    """Ground-truth recall: the candidate machinery (whatever the key
+    scheme) must reproduce the BRUTE-FORCE all-pairs hamming<=d set computed
+    driver-side from the collected fingerprints — catches common-mode
+    layout/key bugs that scheme-vs-scheme equality cannot."""
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} alpha beta gamma delta tok{i % 9} fill{i % 4} zeta")
+         for i in range(150)],
+        "doc_id long, text string",
+    )
+    fps = {r.id: r.sh for r in dedup.simhash_df(docs).collect()}
+    ids = sorted(fps)
+    truth = {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_simhash_pairs_full_fingerprint_block(spark):
+    """max_hamming=0 with n_blocks=1 buckets on the FULL 64-bit fingerprint
+    (the exact-dup-by-fingerprint config): the all-ones mask must not
+    overflow the long literal, and output = pairs with identical simhash."""
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text here")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(
+        docs, max_hamming=0, n_blocks=1).collect()}
+    assert got == {(1, 2)}
