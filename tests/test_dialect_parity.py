@@ -61,3 +61,21 @@ def test_replace_with_infotype_matches_duckdb_regex(spark, sf_dir):
     joined = " ".join(got["text"].head(500))
     assert "[EMAIL_ADDRESS]" in joined and "[PHONE_NUMBER]" in joined
     assert "@example.com" not in joined
+
+
+def test_utf8_byte_length_dialect_parity():
+    """The dlp_batches oracle sizes payloads with DuckDB strlen() (BYTES)
+    and the engine with pandas .str.encode('utf-8').str.len — pin that both
+    count UTF-8 bytes identically (length() in DuckDB counts codepoints and
+    must NOT be used there)."""
+    import duckdb
+    import pandas as pd
+
+    samples = ["plain ascii", "héllo wörld", "😀😀", "", "mixed é 😀 x"]
+    con = duckdb.connect()
+    for s in samples:
+        duck_bytes = con.execute("SELECT strlen(?)", [s]).fetchone()[0]
+        duck_cp = con.execute("SELECT length(?)", [s]).fetchone()[0]
+        pd_bytes = int(pd.Series([s]).str.encode("utf-8").str.len().iloc[0])
+        assert duck_bytes == pd_bytes == len(s.encode("utf-8"))
+        assert duck_cp == len(s)  # codepoints — the WRONG unit for budgets
