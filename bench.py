@@ -102,6 +102,38 @@ def run_streaming_bench(spark) -> dict:
         finally:
             spark.streams.removeListener(cap)
         n_out = sum(e["metrics"]["n_rows"] for e in job.sink().lineage())
+
+        # second leg: deid → stateful conversation assembly chained in ONE
+        # streaming query (the north-rule sessionization machinery) over the
+        # same input, state on RocksDB — measures stateful-session
+        # throughput, not just the stateless deid projection
+        jobs.use_rocksdb_state_store(spark)
+        cap2 = metrics.ProgressCapture()
+        spark.streams.addListener(cap2)
+        t1 = time.time()
+        try:
+            out = jobs.deid_sessions_stream(
+                spark,
+                template,
+                in_dir,
+                gap_ms=1_800_000,
+                watermark="1 minute",
+                max_files_per_trigger=8,
+            )
+            q = (
+                out.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt_sessions"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+            if q.isActive:
+                q.stop()
+            wall2 = time.time() - t1
+        finally:
+            spark.streams.removeListener(cap2)
+
         return {
             "turns": STREAM_TURNS,
             "rows_committed": n_out,
@@ -110,6 +142,12 @@ def run_streaming_bench(spark) -> dict:
             "turns_per_sec_busy": round(cap.throughput_rows_per_sec(), 1),
             "p50_batch_ms": round(cap.p50_batch_ms(), 1),
             "n_batches": len([b for b in cap.batches if b.num_input_rows > 0]),
+            "stateful_sessions": {
+                "turns": STREAM_TURNS,
+                "wall_sec": round(wall2, 2),
+                "turns_per_sec_wall": round(STREAM_TURNS / wall2, 1),
+                "p50_batch_ms": round(cap2.p50_batch_ms(), 1),
+            },
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

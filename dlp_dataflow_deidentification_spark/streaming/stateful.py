@@ -176,8 +176,15 @@ def batched_requests(
                 out.extend((key[0], seq, n, b) for seq, n, b in emitted)
             state.update((buf_bytes, buf_rows, next_seq, max_ms))
             # Beam: event-time timer at window max; here: watermark-driven
-            # timeout at last-event-time + flush gap
-            state.setTimeoutTimestamp(max_ms + flush_gap_ms)
+            # timeout at last-event-time + flush gap. Clamped to just past
+            # the CURRENT watermark: during multi-batch catch-up the
+            # watermark can already be beyond an old key's event times, and
+            # Spark rejects a timeout earlier than the watermark
+            # (INVALID_TIMEOUT_TIMESTAMP) — a past-due buffer should simply
+            # flush at the next tick.
+            state.setTimeoutTimestamp(
+                max(max_ms + flush_gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(out, columns=["key", "batch_seq", "n_rows", "n_bytes"])
 
@@ -291,7 +298,12 @@ def conversation_assembler(
             batch, key[0], n, npii, first_ms, last_ms
         )
         state.update((n, npii, first_ms, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # clamp to just past the current watermark (see batched_requests):
+        # an already-idle conversation times out at the next tick instead of
+        # crashing the query with INVALID_TIMEOUT_TIMESTAMP
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if out:
             yield pd.DataFrame(out, columns=cols)
 

@@ -82,7 +82,13 @@ class ConversationStatsProcessor(StatefulProcessor):
         # transformWithState timers accumulate unless deleted)
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
-        self.handle.registerTimer(last_ms + self.gap_ms)
+        # clamp to just past the current watermark (same catch-up rule as
+        # the applyInPandasWithState twin, streaming/stateful.py): during
+        # multi-batch catch-up the watermark can already be beyond this
+        # key's event times, and a past-due session should flush at the
+        # next tick rather than register a pre-watermark timer
+        wm = timerValues.getCurrentWatermarkInMs()
+        self.handle.registerTimer(max(last_ms + self.gap_ms, wm + 1))
         if out:
             return iter(
                 [

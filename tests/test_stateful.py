@@ -226,3 +226,44 @@ def test_deid_sessions_single_query_stream(spark, tmp_path):
     }
     assert got == want and len(want) >= 30
     assert sum(v[1] for v in want.values()) > 0  # surrogates actually minted
+
+
+def test_stateful_ops_survive_multi_batch_catchup(spark, tmp_path):
+    """Catch-up processing regression (found by the bench's chained
+    deid->sessions leg): with maxFilesPerTrigger over files whose event
+    times are NOT time-ordered, the watermark races ahead of many
+    conversations' event times between micro-batches, and the stateful
+    operators used to register a timeout EARLIER than the current
+    watermark — Spark kills the query with INVALID_TIMEOUT_TIMESTAMP.
+    Timeouts are now clamped to just past the current watermark (past-due
+    state flushes at the next tick)."""
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 5000, n_conversations=120)
+    d = str(tmp_path / "catchup_in")
+    # 8 files, each containing a random slice of the FULL event-time range
+    tdf.repartition(8).write.mode("append").parquet(d)
+    import time as _time
+
+    _time.sleep(1.1)  # flush sentinel gets the newest mtime -> last batch
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d, max_files_per_trigger=2)
+    out = stateful.conversation_assembler(stream, gap_ms=1_800_000, watermark="1 minute")
+    got = _run_stream(spark, out, "catchup_conv").filter("conv_id <> '__flush__'")
+    # completes (no INVALID_TIMEOUT_TIMESTAMP) and flushes sessions for the
+    # bulk of the conversations once the sentinel advances the watermark
+    assert got.select("conv_id").distinct().count() >= 100
+
+    stream2 = jobs.read_transcript_stream(spark, d, max_files_per_trigger=2)
+    out2 = stateful.batched_requests(
+        stream2, max_batch_bytes=2_000, flush_gap_ms=60_000, watermark="1 minute"
+    )
+    got2 = _run_stream(spark, out2, "catchup_batches").filter("key <> '__flush__'")
+    assert got2.select("key").distinct().count() >= 100
