@@ -350,6 +350,8 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan; skipped cells' files never open). Same quantizer/nprobe as
     ivf_topk, same EXACT-ranking oracle — hash-match certifies that the
     pruned-scan path also has recall@10 = 1.0."""
+    import atexit
+    import shutil
     import tempfile
 
     from dlp_dataflow_deidentification_spark.operators import similarity
@@ -362,14 +364,22 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # per-process path: concurrent driver/bench runs must not race on one
-    # shared index directory (overwrite-while-scanning)
+    # shared index directory (overwrite-while-scanning). Removed at process
+    # exit (the returned DataFrame scans it LAZILY, so rmtree here would
+    # pull the index out from under the caller's later collect); repeated
+    # invocations in one process reuse/overwrite the same path.
     idx = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
     similarity.ivf_index_write(
         corpus, idx, n_cells=8, iters=2, train_fraction=0.25
     )
+    # build done — the probe reads the MATERIALIZED index; the executor
+    # cache must not outlive the query (the probe's qs side recomputes its
+    # one cheap projection instead)
+    corpus.unpersist()
     out = similarity.ivf_topk_indexed(spark, idx, qs, k=10, nprobe=3)
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
 
@@ -608,7 +618,10 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(HERE, "configs/deid_transcripts.json"), crypto_key=KEY
     )
     deid = dds.deidentify(tdf, template)
-    out = stateful.conversation_assembler(deid, gap_ms=1_800_000)
+    # n_buckets: super-key batching — one vectorized pandas fold per bucket
+    # instead of one dispatch per conversation; output identical to per-key
+    # mode (tests/test_stateful.py::test_bucketed_assembler_equals_per_key_*)
+    out = stateful.conversation_assembler(deid, gap_ms=1_800_000, n_buckets=64)
     return out.select(
         "conv_id",
         F.col("n_turns").cast("long").alias("n_turns"),

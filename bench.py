@@ -65,6 +65,39 @@ def run_queries(spark) -> dict[str, float]:
     return timings
 
 
+def run_ivf_split(spark) -> dict:
+    """ivf_topk_indexed decomposed: the one-off INDEX BUILD (quantizer train
+    + full cell assignment + partitioned write) vs the servable PROBE
+    (partition-pruned scan + broadcast join + top-k). The `queries` timing
+    conflates them; at 100 TB the build amortizes over every probe, so the
+    probe number is the one that matters."""
+    import shutil
+    import tempfile
+    import __spark_entry__ as E
+    from dlp_dataflow_deidentification_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    corpus = E._ann_corpus(spark, SF_DIR).persist()
+    qs = corpus.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1000000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = tempfile.mkdtemp(prefix="dlp_bench_ivf_")
+    try:
+        t0 = time.time()
+        similarity.ivf_index_write(corpus, idx, n_cells=8, iters=2, train_fraction=0.25)
+        build = time.time() - t0
+        corpus.unpersist()
+        t1 = time.time()
+        similarity.ivf_topk_indexed(spark, idx, qs, k=10, nprobe=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        probe = time.time() - t1
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        spark.catalog.clearCache()
+    return {"build_sec": round(build, 3), "probe_sec": round(probe, 3)}
+
+
 def run_streaming_bench(spark) -> dict:
     """End-to-end deidentified-turns/sec with p50 micro-batch latency
     (BASELINE.json headline metric) over a synthesized transcript stream."""
@@ -106,7 +139,10 @@ def run_streaming_bench(spark) -> dict:
         # second leg: deid → stateful conversation assembly chained in ONE
         # streaming query (the north-rule sessionization machinery) over the
         # same input, state on RocksDB — measures stateful-session
-        # throughput, not just the stateless deid projection
+        # throughput, not just the stateless deid projection. n_buckets=256:
+        # super-key batching (one state row / one vectorized pandas fold per
+        # bucket instead of per conversation) — 3.2x over per-key dispatch
+        # at this 1M/50k shape, output-identical (pinned by test_stateful).
         jobs.use_rocksdb_state_store(spark)
         cap2 = metrics.ProgressCapture()
         spark.streams.addListener(cap2)
@@ -119,6 +155,7 @@ def run_streaming_bench(spark) -> dict:
                 gap_ms=1_800_000,
                 watermark="1 minute",
                 max_files_per_trigger=8,
+                n_buckets=256,
             )
             q = (
                 out.writeStream.format("noop")
@@ -127,12 +164,15 @@ def run_streaming_bench(spark) -> dict:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(1800)
+            finished2 = q.awaitTermination(1800)
             if q.isActive:
                 q.stop()
             wall2 = time.time() - t1
         finally:
             spark.streams.removeListener(cap2)
+        # on timeout, rate from rows actually PROCESSED, not the full input
+        # (an incomplete run must not overstate throughput)
+        turns2 = STREAM_TURNS if finished2 else min(cap2.total_rows(), STREAM_TURNS)
 
         return {
             "turns": STREAM_TURNS,
@@ -143,9 +183,11 @@ def run_streaming_bench(spark) -> dict:
             "p50_batch_ms": round(cap.p50_batch_ms(), 1),
             "n_batches": len([b for b in cap.batches if b.num_input_rows > 0]),
             "stateful_sessions": {
-                "turns": STREAM_TURNS,
+                "turns": turns2,
+                "n_buckets": 256,
+                "finished": finished2,
                 "wall_sec": round(wall2, 2),
-                "turns_per_sec_wall": round(STREAM_TURNS / wall2, 1),
+                "turns_per_sec_wall": round(turns2 / wall2, 1),
                 "p50_batch_ms": round(cap2.p50_batch_ms(), 1),
             },
         }
@@ -158,6 +200,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         timings = run_queries(spark)
+        ivf_split = run_ivf_split(spark)
         streaming = run_streaming_bench(spark)
     finally:
         spark.stop()
@@ -171,6 +214,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": CPUS,
+                "ivf_indexed_split": ivf_split,
                 "streaming": streaming,
             }
         )

@@ -87,6 +87,7 @@ def deid_sessions_stream(
     gap_ms: int = 1_800_000,
     watermark: str = "30 minutes",
     max_files_per_trigger: int | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """DEID → stateful conversation assembly as ONE streaming query.
 
@@ -99,12 +100,19 @@ def deid_sessions_stream(
     Batch equivalent: ``conversation_assembler(deidentify(df, template))``
     (driver query ``conv_sessions``); stream≡batch equality is pinned by
     ``tests/test_stateful.py::test_deid_sessions_single_query_stream``.
+    ``n_buckets``: super-key batching — one state row / one vectorized
+    pandas fold per bucket instead of per conversation (see
+    ``conversation_assembler``); same output, ~|keys|/n_buckets fewer
+    per-micro-batch pandas dispatches.
     """
     from .stateful import conversation_assembler
 
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     return conversation_assembler(
-        deidentify(stream, template), gap_ms=gap_ms, watermark=watermark
+        deidentify(stream, template),
+        gap_ms=gap_ms,
+        watermark=watermark,
+        n_buckets=n_buckets,
     )
 
 

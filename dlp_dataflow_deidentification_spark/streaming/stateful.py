@@ -208,6 +208,83 @@ CONV_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# bucketed (super-key) mode: ONE state row per bucket holding the packed
+# per-conversation open sessions (JSON {conv_id: [n, npii, first, last]})
+_SUPER_STATE_SCHEMA = StructType([StructField("packed", StringType())])
+
+_PII_RE = r"\[[A-Z_]+\]"
+_SESS_COLS = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
+
+
+def _fold_bucket(pdf: pd.DataFrame, carried: dict, gap_ms: int):
+    """Vectorized gap-session fold over ALL conversations in one bucket.
+
+    Semantically identical to ``conversation_assembler``'s per-key scalar
+    fold (same split rule ``ts - running_max_last >= gap_ms``, same
+    min/max first/last merge against carried state), but one pandas pass
+    per BUCKET instead of one Python dispatch per conversation — the
+    ShardRows-style batching that amortizes per-key overhead
+    (beam/ShardRows.java:66-81).
+
+    Two cumsum passes:
+      1. rows sorted by (conv, ts): session breaks where the gap to the
+         previous row (== running max, rows ascending) >= gap_ms → chunk
+         sessions aggregated in one groupby;
+      2. chunk sessions ∪ carried open sessions sorted by (conv, first):
+         re-merge with the same rule against a per-conv running-max
+         ``last`` (cummax) — a carried session can overlap/bridge chunk
+         sessions arbitrarily, which running-max handles exactly like the
+         scalar fold does.
+
+    Returns ``(sessions, is_open)``: per-conv time-ordered session records
+    (columns ``_SESS_COLS``) and a bool mask marking each conversation's
+    trailing (still-open) session.
+    """
+    ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+    pii = (
+        pdf["text"].str.contains(_PII_RE, regex=True, na=False).to_numpy().astype("int64")
+    )
+    rf = pd.DataFrame({"conv": pdf["conv_id"].to_numpy(), "ms": ms, "pii": pii})
+    rf = rf.sort_values(["conv", "ms"], kind="mergesort", ignore_index=True)
+    new_conv = rf["conv"].ne(rf["conv"].shift())
+    brk = new_conv | (rf["ms"] - rf["ms"].shift() >= gap_ms)
+    rf["sid"] = brk.cumsum()
+    sess = rf.groupby("sid", sort=False).agg(
+        conv=("conv", "first"),
+        n=("pii", "size"),
+        npii=("pii", "sum"),
+        first=("ms", "min"),
+        last=("ms", "max"),
+    )
+    if carried:
+        cf = pd.DataFrame(
+            [(c, v[0], v[1], v[2], v[3]) for c, v in carried.items()],
+            columns=["conv", "n", "npii", "first", "last"],
+        )
+        sess = pd.concat([sess, cf], ignore_index=True)
+    sess = sess.sort_values(["conv", "first"], kind="mergesort", ignore_index=True)
+    new_conv2 = sess["conv"].ne(sess["conv"].shift())
+    # running max of `last` within the conv: a carried session can span
+    # several chunk sessions; shift() crossing a conv boundary is masked
+    # off by new_conv2
+    cm = sess.groupby("conv", sort=False)["last"].cummax()
+    brk2 = new_conv2 | (sess["first"] - cm.shift() >= gap_ms)
+    sess["sid2"] = brk2.cumsum()
+    merged = (
+        sess.groupby("sid2", sort=False)
+        .agg(
+            conv=("conv", "first"),
+            n=("n", "sum"),
+            npii=("npii", "sum"),
+            first=("first", "min"),
+            last=("last", "max"),
+        )
+        .reset_index(drop=True)
+    )
+    merged.columns = pd.Index(_SESS_COLS)
+    is_open = merged["conv_id"].ne(merged["conv_id"].shift(-1)).to_numpy()
+    return merged, is_open
+
 _CONV_STATE_SCHEMA = StructType(
     [
         StructField("n_turns", IntegerType()),
@@ -222,13 +299,29 @@ def conversation_assembler(
     df: DataFrame,
     gap_ms: int = 1_800_000,
     watermark: str = "30 minutes",
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Per-conv_id stateful assembly: accumulate turn stats in state, emit one
     conversation record when the conversation idles past ``gap_ms`` (event-time
     timeout) — the custom-logic upgrade of ``session_window``. Batch input
     degrades to a stateless ``applyInPandas`` (applyInPandasWithState is
     streaming-only): all turns per key in one invocation, every gap-closed
-    session emitted including the final one."""
+    session emitted including the final one.
+
+    ``n_buckets``: bucketed (super-key) mode — group by
+    ``pmod(xxhash64(conv_id), n_buckets)`` instead of per conv_id, with ONE
+    state row per bucket carrying every open conversation in it and ONE
+    vectorized pandas fold per bucket (``_fold_bucket``). This is the
+    ShardRows batching analogue (beam/ShardRows.java:66-81 — shard precisely
+    to amortize per-key dispatch): at millions of small conversations the
+    per-group Arrow/pandas dispatch dominates, and bucketing turns ~|keys|
+    dispatches per micro-batch into ~n_buckets. Output is identical to
+    per-key mode (pinned by tests). Sizing: open conversations per bucket ≈
+    live_keys / n_buckets; keep the packed state row well under the state
+    store's value-size comfort zone (a few MB) — e.g. 1e8 live conversations
+    → n_buckets ≈ 1e5–1e6 spread over executors."""
+    if n_buckets is not None:
+        return _bucketed_assembler(df, gap_ms, watermark, n_buckets)
 
     cols = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
 
@@ -314,6 +407,85 @@ def conversation_assembler(
         fn,
         CONV_OUTPUT_SCHEMA,
         _CONV_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _bucketed_assembler(
+    df: DataFrame, gap_ms: int, watermark: str, n_buckets: int
+) -> DataFrame:
+    """Super-key implementation of ``conversation_assembler`` (see its
+    docstring): one state row + one vectorized fold per bucket. Per-conv
+    open sessions ride in the bucket's state as a JSON map
+    ``{conv_id: [n, npii, first_ms, last_ms]}``; the bucket's event-time
+    timeout is armed at the EARLIEST open conversation's deadline
+    (min(last_ms) + gap_ms, watermark-clamped like the per-key path), and a
+    firing flushes exactly the conversations whose deadline the watermark
+    passed, re-arming for the rest."""
+    import json
+
+    wdf = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets))
+    )
+
+    if not wdf.isStreaming:
+
+        def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
+            # full flush: open sessions are final records too
+            sessions, _ = _fold_bucket(pdf, {}, gap_ms)
+            return sessions
+
+        return wdf.groupBy("__bucket").applyInPandas(bfn, CONV_OUTPUT_SCHEMA)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        carried: dict = json.loads(state.get[0]) if state.exists else {}
+
+        if state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            due = [
+                (c, v[0], v[1], v[2], v[3])
+                for c, v in carried.items()
+                if v[3] + gap_ms <= wm
+            ]
+            keep = {c: v for c, v in carried.items() if v[3] + gap_ms > wm}
+            if keep:
+                state.update((json.dumps(keep),))
+                state.setTimeoutTimestamp(
+                    max(min(v[3] + gap_ms for v in keep.values()), wm + 1)
+                )
+            else:
+                state.remove()
+            if due:
+                yield pd.DataFrame(due, columns=_SESS_COLS)
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        sessions, is_open = _fold_bucket(batch, carried, gap_ms)
+        closed = sessions[~is_open]
+        carried = {
+            r.conv_id: [int(r.n_turns), int(r.n_pii_turns), int(r.first_ms), int(r.last_ms)]
+            for r in sessions[is_open].itertuples()
+        }
+        state.update((json.dumps(carried),))
+        # same watermark clamp as the per-key path: a past-due bucket
+        # flushes at the next tick instead of crashing the query
+        state.setTimeoutTimestamp(
+            max(
+                min(v[3] + gap_ms for v in carried.values()),
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if len(closed):
+            yield closed
+
+    wdf = wdf.withWatermark("ts", watermark)
+    return wdf.groupBy("__bucket").applyInPandasWithState(
+        fn,
+        CONV_OUTPUT_SCHEMA,
+        _SUPER_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

@@ -267,3 +267,105 @@ def test_stateful_ops_survive_multi_batch_catchup(spark, tmp_path):
     )
     got2 = _run_stream(spark, out2, "catchup_batches").filter("key <> '__flush__'")
     assert got2.select("key").distinct().count() >= 100
+
+
+def test_bucketed_assembler_equals_per_key_stream_and_batch(spark, tmp_path):
+    """Super-key (bucketed) mode is output-identical to per-key mode: same
+    session records from the streaming state machine (n_buckets forces many
+    conversations per bucket) and from the batch degradation."""
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 3000, n_conversations=60)
+    d = str(tmp_path / "bkt_in")
+    tdf.coalesce(2).write.mode("append").parquet(d)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.write.mode("append").parquet(d)
+
+    def run(n_buckets, name):
+        stream = jobs.read_transcript_stream(spark, d)
+        out = stateful.conversation_assembler(
+            stream, gap_ms=300_000, watermark="1 minute", n_buckets=n_buckets
+        )
+        return {
+            (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns, r.last_ms)
+            for r in _run_stream(spark, out, name)
+            .filter("conv_id <> '__flush__'")
+            .collect()
+        }
+
+    per_key = run(None, "bkt_per_key")
+    bucketed = run(7, "bkt_super")  # ~9 conversations per bucket
+    assert bucketed == per_key and len(per_key) >= 50
+
+    batch_per_key = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns, r.last_ms)
+        for r in stateful.conversation_assembler(tdf, gap_ms=300_000).collect()
+    }
+    batch_bucketed = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns, r.last_ms)
+        for r in stateful.conversation_assembler(
+            tdf, gap_ms=300_000, n_buckets=7
+        ).collect()
+    }
+    assert batch_bucketed == batch_per_key
+
+
+def test_bucketed_assembler_pre_epoch_and_late_rows(spark):
+    """Bucketed batch fold: pre-epoch (negative-ms) timestamps split/seed
+    correctly, and a late row EARLIER than a carried session's start merges
+    with min(first_ms) — the same edge cases the per-key fold pins."""
+    rows = [
+        ("c", 0, "agent", "hello [EMAIL]", "N/A", "1969-12-31 22:00:00"),
+        ("c", 1, "agent", "world", "N/A", "1969-12-31 22:01:00"),
+        ("c", 2, "agent", "again", "N/A", "1969-12-31 22:30:00"),
+        ("d", 0, "agent", "solo", "N/A", "1970-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r.conv_id, r.first_ms, r.last_ms, r.n_turns, r.n_pii_turns)
+        for r in stateful.conversation_assembler(
+            df, gap_ms=300_000, n_buckets=2
+        ).collect()
+    )
+    h22 = -7200_000
+    assert got == [
+        ("c", h22, h22 + 60_000, 2, 1),
+        ("c", h22 + 1800_000, h22 + 1800_000, 1, 0),
+        ("d", 18_000_000, 18_000_000, 1, 0),
+    ]
+
+
+def test_bucketed_assembler_multi_batch_catchup(spark, tmp_path):
+    """Bucketed mode survives watermark catch-up over time-unordered files
+    (same INVALID_TIMEOUT_TIMESTAMP regression scenario as the per-key test)
+    and flushes the same conversations."""
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 5000, n_conversations=120)
+    d = str(tmp_path / "bkt_catchup_in")
+    tdf.repartition(8).write.mode("append").parquet(d)
+    import time as _time
+
+    _time.sleep(1.1)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d, max_files_per_trigger=2)
+    out = stateful.conversation_assembler(
+        stream, gap_ms=1_800_000, watermark="1 minute", n_buckets=16
+    )
+    got = _run_stream(spark, out, "bkt_catchup").filter("conv_id <> '__flush__'")
+    assert got.select("conv_id").distinct().count() >= 100
