@@ -131,8 +131,13 @@ def q_inspect_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_deid_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     cards = _cards(spark, sf_dir)
+    # hash_mode="sha256" EXPLICITLY: the compiler's default is now strict
+    # HMAC-SHA-256 (the reference's construction, pytest-pinned bit-parity),
+    # but this DuckDB oracle can only express the keyed-prefix form — its
+    # sha256() is VARCHAR-only, so HMAC's raw-byte inner digest cannot flow
+    # through the oracle SQL.
     template = dds.DeidTemplate.from_file(
-        os.path.join(HERE, "configs/deid_cards.json"), crypto_key=KEY
+        os.path.join(HERE, "configs/deid_cards.json"), crypto_key=KEY, hash_mode="sha256"
     )
     return dds.deidentify(cards, template).select(
         "id", "card_pin", "ssn", "age", "job_title", "notes"

@@ -125,29 +125,29 @@ def crypto_hash_hmac(col: Column, key: str, encoding: str = "base64") -> Column:
     an HMAC-SHA-256 under a KMS-held key, and the DLP service emits the MAC
     base64-encoded (``encoding="hex"`` for the engine-native hex shape).
 
-    Arrow-batched pandas UDF over stdlib ``hmac`` (C-backed digest). The
-    default engine path stays ``transforms.crypto_hash`` — the native
-    ``sha256(key || value)`` form (JVM-side, oracle-expressible); both are
-    keyed/deterministic/irreversible, but only this one reproduces real DLP
-    output bit-for-bit, so use it (template knob ``hash_mode="hmac"``) when
-    migrating data that must match tokens minted by the reference pipeline.
+    Fully NATIVE (zero Python in the hot path): HMAC(k, m) =
+    SHA256((k⊕opad) ‖ SHA256((k⊕ipad) ‖ m)) with the two padded keys
+    precomputed driver-side as 64-byte binary literals — two chained
+    ``F.sha2`` calls inside WholeStageCodegen. Bit-equality with stdlib
+    ``hmac`` is pinned by test_crypto_hash_hmac_bit_parity_with_python_hmac.
+    This is the template compiler's DEFAULT (``hash_mode="hmac"``) so tokens
+    match real DLP output bit-for-bit; ``hash_mode="sha256"`` remains the
+    documented ``sha256(key ‖ value)`` opt-in (one digest instead of two,
+    and the only form the DuckDB correctness oracle can express — its
+    ``sha256`` is VARCHAR-only, so HMAC's raw inner digest can't flow
+    through it).
     """
     if encoding not in ("base64", "hex"):
         raise ValueError(f"encoding must be 'base64' or 'hex', got {encoding!r}")
+    import hashlib
+
     kb = key.encode()
-    b64 = encoding == "base64"
-
-    @F.pandas_udf(StringType())
-    def _mac(s: pd.Series) -> pd.Series:
-        import hashlib
-        import hmac as _hmac
-
-        def one(v):
-            if v is None:
-                return None
-            d = _hmac.new(kb, str(v).encode(), hashlib.sha256)
-            return base64.b64encode(d.digest()).decode() if b64 else d.hexdigest()
-
-        return s.map(one)
-
-    return _mac(col)
+    if len(kb) > 64:  # RFC 2104: long keys are hashed down to block size
+        kb = hashlib.sha256(kb).digest()
+    kb = kb.ljust(64, b"\0")
+    ipad = bytes(b ^ 0x36 for b in kb)
+    opad = bytes(b ^ 0x5C for b in kb)
+    s = col.cast("string")
+    inner = F.sha2(F.concat(F.lit(ipad), F.encode(s, "UTF-8")), 256)
+    mac_hex = F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+    return F.base64(F.unhex(mac_hex)) if encoding == "base64" else mac_hex

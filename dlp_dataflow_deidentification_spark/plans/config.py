@@ -81,8 +81,17 @@ class DeidTemplate:
         crypto_key: "str | None" = None,
         custom_infotypes: dict[str, infotypes.InfoType] | None = None,
         deterministic_mode: str = "siv",
-        hash_mode: str = "sha256",
+        hash_mode: str = "hmac",
     ) -> "DeidTemplate":
+        # validate the mode knobs eagerly — a typo'd mode on a template whose
+        # primitives never reach the matching branch must still fail loudly,
+        # not be silently accepted and ignored
+        if deterministic_mode not in ("siv", "ecb"):
+            raise ValueError(
+                f"deterministic_mode must be 'siv' or 'ecb', got {deterministic_mode!r}"
+            )
+        if hash_mode not in ("hmac", "sha256"):
+            raise ValueError(f"hash_mode must be 'hmac' or 'sha256', got {hash_mode!r}")
         doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
         cfg = doc.get("deidentifyConfig", doc)
@@ -212,20 +221,20 @@ def _primitive(
     prim: dict,
     crypto_key: "str | None",
     deterministic_mode: str = "siv",
-    hash_mode: str = "sha256",
+    hash_mode: str = "hmac",
 ) -> Callable[[Column], Column]:
     if "cryptoHashConfig" in prim:
         crypto_key = _require_key(crypto_key, "cryptoHashConfig")
-        # "sha256" (default): native keyed-prefix sha256(key || value) —
-        # JVM-side, oracle-expressible. "hmac": strict HMAC-SHA-256, the
-        # reference template's actual construction (deid-template.json:17-27)
-        # — bit-identical to real DLP tokens, pandas-UDF path
-        # (crypto.crypto_hash_hmac).
+        # "hmac" (default): strict native HMAC-SHA-256 — the reference
+        # template's actual construction (deid-template.json:17-27),
+        # bit-identical to real DLP tokens (crypto.crypto_hash_hmac, two
+        # chained JVM sha2 calls). "sha256": keyed-prefix sha256(key||value)
+        # — one digest, and the only form the DuckDB oracle can express.
         if hash_mode == "hmac":
             key = crypto_key
             return lambda c: crypto.crypto_hash_hmac(c, key)
         if hash_mode != "sha256":
-            raise ValueError(f"hash_mode must be 'sha256' or 'hmac', got {hash_mode!r}")
+            raise ValueError(f"hash_mode must be 'hmac' or 'sha256', got {hash_mode!r}")
         return lambda c: transforms.crypto_hash(c, crypto_key)
     if "cryptoDeterministicConfig" in prim:
         crypto_key = _require_key(crypto_key, "cryptoDeterministicConfig")

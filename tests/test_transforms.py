@@ -394,3 +394,76 @@ def test_template_hash_mode_knob(spark):
 
     with pytest.raises(ValueError, match="hash_mode"):
         DeidTemplate.from_dict(doc, crypto_key=KEY16, hash_mode="md5")
+
+
+def test_template_hash_mode_defaults_to_hmac():
+    """The compiler's DEFAULT cryptoHashConfig is now strict HMAC-SHA-256
+    (the reference template's actual construction, deid-template.json:17-27)
+    — an unconfigured migration matches real DLP tokens bit-for-bit;
+    sha256(key||value) is the explicit opt-in (the oracle-expressible form).
+    Mode knobs are validated eagerly: a typo fails compile even when the
+    template has no primitive that would reach the matching branch."""
+    import base64
+    import hashlib
+    import hmac
+
+    from dlp_dataflow_deidentification_spark.plans.config import DeidTemplate
+
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "v"}],
+                        "primitiveTransformation": {"cryptoHashConfig": {
+                            "cryptoKey": {"kmsWrapped": {}}}},
+                    }
+                ]
+            }
+        }
+    }
+    t = DeidTemplate.from_dict(doc, crypto_key=KEY16)  # no hash_mode
+    col = t.transformations[0].builder(F.lit("552-09-6781"))
+    # expression-level check: compare against stdlib hmac via a literal fold
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    got = spark.range(1).select(col.alias("v")).collect()[0].v
+    want = base64.b64encode(
+        hmac.new(KEY16.encode(), b"552-09-6781", hashlib.sha256).digest()
+    ).decode()
+    assert got == want
+
+    # eager knob validation: no characterMask-only escape hatch for typos
+    mask_doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "v"}],
+                        "primitiveTransformation": {"characterMaskConfig": {}},
+                    }
+                ]
+            }
+        }
+    }
+    with pytest.raises(ValueError, match="hash_mode"):
+        DeidTemplate.from_dict(mask_doc, hash_mode="hmca")
+    with pytest.raises(ValueError, match="deterministic_mode"):
+        DeidTemplate.from_dict(mask_doc, deterministic_mode="sivv")
+
+
+def test_crypto_hash_hmac_long_key_and_nulls(spark):
+    """RFC 2104 long-key rule (keys > 64 bytes are hashed down first) and
+    null propagation through the native two-sha2 composition."""
+    import base64
+    import hashlib
+    import hmac
+
+    long_key = "k" * 100
+    vals = ["x", None]
+    out = run1(spark, vals, lambda c: crypto.crypto_hash_hmac(c, long_key))
+    want = base64.b64encode(
+        hmac.new(long_key.encode(), b"x", hashlib.sha256).digest()
+    ).decode()
+    assert out == [want, None]
