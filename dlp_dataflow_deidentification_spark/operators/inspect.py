@@ -148,12 +148,6 @@ def inspect(
     ).select(*id_columns, "f.*")
 
 
-_SORTABLE_FINDING_T = (
-    "array<struct<_col:int,_pos:int,_det:int,"
-    "field_id:string,info_type_name:string,likelihood:string,quote:string>>"
-)
-
-
 def _inspect_position_capped(
     df: DataFrame,
     dets: list,
@@ -201,42 +195,45 @@ def _inspect_position_capped(
         # split lives INSIDE the over-cap branch: whole-array input to one
         # zip_with → evaluated once per row, and only for rows that need it
         s = F.split(F.col(f"__t_{ci}"), it.pattern, -1)
-        # (segment-before-match, match) pairs; n segments for n matches
-        zipped = F.zip_with(
+        # (len(segment-before-match), len(match)) pairs; n segments for n
+        # matches — ints only, the strings are not carried into the fold
+        lens = F.zip_with(
             F.slice(s, 1, F.size(m)),
             m,
-            lambda seg, q: F.struct(F.length(seg).alias("sl"), q.alias("q")),
+            lambda seg, q: F.struct(
+                F.length(seg).alias("sl"), F.length(q).alias("ql")
+            ),
         )
-        # one left-to-right fold per row: carry the running offset, emit one
-        # tagged struct per match at offset = carried + len(preceding segment)
-        return F.aggregate(
-            zipped,
+        # one left-to-right fold per row, accumulating ONLY the int start
+        # offsets (start_i = running_total + len(seg_i)). The growing-array
+        # concat is inherently O(m²) in element copies, but on a primitive
+        # int array that is a cheap memcpy of 4-byte slots — the previous
+        # form carried the full tagged STRUCTS (five strings each) through
+        # every step, re-copying all quotes/names O(m²) times.
+        starts = F.aggregate(
+            lens,
             F.struct(
-                F.lit(0).alias("cur"),
-                F.array().cast(_SORTABLE_FINDING_T).alias("arr"),
+                F.lit(0).alias("cur"), F.array().cast("array<int>").alias("arr")
             ),
             lambda acc, x: F.struct(
-                (acc["cur"] + x["sl"] + F.length(x["q"])).alias("cur"),
-                F.concat(
-                    acc["arr"],
-                    F.array(
-                        F.struct(
-                            F.lit(ci).alias("_col"),
-                            (acc["cur"] + x["sl"]).alias("_pos"),
-                            F.lit(di).alias("_det"),
-                            F.lit(col).alias("field_id"),
-                            F.lit(it.name).alias("info_type_name"),
-                            F.lit(it.likelihood).alias("likelihood"),
-                            (
-                                x["q"]
-                                if include_quote
-                                else F.lit(None).cast("string")
-                            ).alias("quote"),
-                        )
-                    ),
-                ).alias("arr"),
+                (acc["cur"] + x["sl"] + x["ql"]).alias("cur"),
+                F.concat(acc["arr"], F.array(acc["cur"] + x["sl"])).alias("arr"),
             ),
             lambda acc: acc["arr"],
+        )
+        # one LINEAR pass attaches the heavy struct per match at its offset
+        return F.zip_with(
+            starts,
+            m,
+            lambda p, q: F.struct(
+                F.lit(ci).alias("_col"),
+                p.alias("_pos"),
+                F.lit(di).alias("_det"),
+                F.lit(col).alias("field_id"),
+                F.lit(it.name).alias("info_type_name"),
+                F.lit(it.likelihood).alias("likelihood"),
+                (q if include_quote else F.lit(None).cast("string")).alias("quote"),
+            ),
         )
 
     def _plain(ci: int, col: str, di: int, it) -> "F.Column":

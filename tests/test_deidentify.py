@@ -372,3 +372,23 @@ def test_inspect_cap_truncates_in_position_order(spark):
     df2 = spark.createDataFrame([(1, "123-45-6789 x a@b.com")], "id int, t string")
     both = dds.inspect(df2, dets, ["t"], id_columns=["id"], max_findings_per_item=5)
     assert sorted(r.quote for r in both.collect()) == ["123-45-6789", "a@b.com"]
+
+
+def test_inspect_position_cap_long_cell_is_not_quadratic_in_structs(spark):
+    """Over-cap rows pay the offset fold; with thousands of matches in one
+    cell the fold must accumulate ONLY int offsets (linear-ish memcpy of a
+    primitive array) — the old form re-copied every tagged STRUCT (five
+    strings each) per step, O(m²) string traffic that stalls on long cells."""
+    import time
+
+    import dlp_dataflow_deidentification_spark as dds
+
+    n = 5000
+    text = " ".join(f"x{i}@b.com" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "id int, t string")
+    t0 = time.time()
+    out = dds.inspect(
+        df, ["EMAIL_ADDRESS"], ["t"], id_columns=["id"], max_findings_per_item=10
+    ).collect()
+    assert [r.quote for r in out] == [f"x{i}@b.com" for i in range(10)]
+    assert time.time() - t0 < 60  # generous; the struct-fold form crawls
