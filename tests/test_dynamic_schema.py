@@ -62,3 +62,71 @@ def test_keep_one_schema_merge_across_batches(spark, dirs):
     # the later file's header row is skipped and its cells land POSITIONALLY
     # under the first-seen column names (keep-one: first header wins)
     assert rows == [("1", "x"), ("YY", "99")]
+
+
+def test_mixed_formats_one_stream(spark, dirs):
+    """csv + jsonl + txt files land in correctly-shaped per-key outputs from
+    a SINGLE streaming query (the reference's per-format header dispatch,
+    ExtractColumnNamesTransform.java:75-117, with --headers for txt)."""
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    _write(os.path.join(dirs["in"], "alpha.csv"), ["a,b", "1,x", "2,y"])
+    _write(
+        os.path.join(dirs["in"], "beta.jsonl"),
+        ['{"p": "7", "q": "m"}', '{"q": "n", "p": "8"}'],
+    )
+    _write(
+        os.path.join(dirs["in"], "gamma.txt"),
+        ["u|v", "1|only-two|three", "2|ok"],  # middle row: arity 3 ≠ 2 → drop
+    )
+
+    job = DynamicSchemaFileStream(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        txt_headers=["u", "v"],
+        txt_delimiter="|",
+    )
+    job.run_to_completion()
+
+    alpha = job.read_table("alpha")
+    assert set(alpha.columns) == {"a", "b", "source_key"}
+    assert sorted((r.a, r.b) for r in alpha.collect()) == [("1", "x"), ("2", "y")]
+
+    beta = job.read_table("beta")  # self-describing: the first file's keys
+    assert set(beta.columns) == {"p", "q", "source_key"}
+    assert sorted((r.p, r.q) for r in beta.collect()) == [("7", "m"), ("8", "n")]
+
+    gamma = job.read_table("gamma")  # user headers (txt has no header line,
+    # so "u|v" is itself a data row); the arity-3 middle row is dropped
+    assert set(gamma.columns) == {"u", "v", "source_key"}
+    assert sorted((r.u, r.v) for r in gamma.collect()) == [("2", "ok"), ("u", "v")]
+
+
+def test_mixed_format_keep_one_across_restart(spark, dirs):
+    """A later JSONL file for a key established by a CSV parses BY NAME
+    under the key's first (CSV-header) schema — keep-one holds across
+    formats AND across a stream restart via the durable ledger."""
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    _write(os.path.join(dirs["in"], "delta.csv"), ["a,b", "1,x"])
+    j1 = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    j1.run_to_completion()
+
+    os.makedirs(os.path.join(dirs["in"], "later"))
+    _write(
+        os.path.join(dirs["in"], "later", "delta.jsonl"),
+        ['{"b": "YY", "a": "99", "c": "dropped"}'],
+    )
+    j2 = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert not j2._schemas  # fresh driver memory: durable keep-one only
+    j2.run_to_completion()
+
+    delta = j2.read_table("delta")
+    assert set(delta.columns) == {"a", "b", "source_key"}
+    assert sorted((r.a, r.b) for r in delta.collect()) == [("1", "x"), ("99", "YY")]
