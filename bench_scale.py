@@ -160,6 +160,111 @@ def run_level(spark, path: str) -> dict:
     return out
 
 
+def run_stateful_curve(spark, workdir: str, turns: int, conv_levels: list[int]) -> dict:
+    """Group-count scale curve for the chained deid → stateful-sessions
+    stream (writes BENCH_STATEFUL_SCALE.json): FIXED ``turns`` total,
+    conversations swept 5k/50k/500k — isolating per-GROUP overhead from
+    per-row cost. Two variants per level:
+
+    * bucketed (n_buckets=256, the bench/production path): cost should be
+      ~flat across group counts — per-micro-batch pandas dispatches are
+      bounded by the bucket count, not the key count;
+    * per-key (skipped above 50k conversations — at 500k its dispatch cost
+      is the very pathology the bucketed mode removes): cost grows with
+      group count, recording WHY bucketing is the scale path.
+    """
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+    from dlp_dataflow_deidentification_spark.streaming import jobs
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    template = dds.DeidTemplate.from_file(
+        os.path.join(here, "configs/deid_transcripts.json")
+    )
+    jobs.use_rocksdb_state_store(spark)
+    out = {"turns": turns, "levels": []}
+    # JIT/codegen/Arrow warmup: without this the first level pays one-time
+    # JVM costs and the curve's head is inflated ~2x
+    warm_levels = [("__warm__", min(conv_levels), max(10_000, turns // 10))]
+    for tag, n_convs, n_turns in warm_levels:
+        in_dir = os.path.join(workdir, f"turns{tag}")
+        shutil.rmtree(in_dir, ignore_errors=True)
+        synthesize_transcripts(spark, n_turns, n_conversations=n_convs).repartition(
+            8
+        ).write.mode("overwrite").parquet(in_dir)
+        for nb in (256, None):
+            ckpt = os.path.join(workdir, f"ckpt{tag}_{nb}")
+            shutil.rmtree(ckpt, ignore_errors=True)
+            q = (
+                jobs.deid_sessions_stream(
+                    spark, template, in_dir, gap_ms=1_800_000,
+                    watermark="1 minute", max_files_per_trigger=8, n_buckets=nb,
+                )
+                .writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(in_dir, ignore_errors=True)
+    for n_convs in conv_levels:
+        in_dir = os.path.join(workdir, f"turns_{n_convs}")
+        shutil.rmtree(in_dir, ignore_errors=True)
+        synthesize_transcripts(spark, turns, n_conversations=n_convs).repartition(
+            32
+        ).write.mode("overwrite").parquet(in_dir)
+        level = {"n_conversations": n_convs}
+        variants = [("bucketed_256", 256)]
+        if n_convs <= 50_000:
+            variants.append(("per_key", None))
+        for name, nb in variants:
+            ckpt = os.path.join(workdir, f"ckpt_{n_convs}_{name}")
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.time()
+            stream = jobs.deid_sessions_stream(
+                spark,
+                template,
+                in_dir,
+                gap_ms=1_800_000,
+                watermark="1 minute",
+                max_files_per_trigger=8,
+                n_buckets=nb,
+            )
+            q = (
+                stream.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(1800)
+            if q.isActive:
+                q.stop()
+            wall = time.time() - t0
+            level[name] = {
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(turns / wall, 1),
+                "finished": finished,
+            }
+            shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(in_dir, ignore_errors=True)
+        out["levels"].append(level)
+        print(json.dumps(level), flush=True)
+    b = [lv["bucketed_256"]["wall_sec"] for lv in out["levels"]]
+    if len(b) >= 2:
+        out["bucketed_wall_ratio_last_vs_first"] = round(b[-1] / b[0], 2)
+        out["conv_ratio"] = round(
+            out["levels"][-1]["n_conversations"] / out["levels"][0]["n_conversations"], 1
+        )
+    return out
+
+
 def main() -> None:
     levels = [
         int(x)
@@ -180,6 +285,24 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if os.environ.get("SPARK_GRAFT_SCALE_STATEFUL") == "1":
+        conv_levels = [
+            int(x)
+            for x in os.environ.get(
+                "SPARK_GRAFT_SCALE_CONVS", "5000,50000,500000"
+            ).split(",")
+        ]
+        turns = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "1000000"))
+        result = {"cpus": cpus, **run_stateful_curve(spark, workdir, turns, conv_levels)}
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_STATEFUL_SCALE.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({"written": out_path}))
+        spark.stop()
+        return
 
     adversarial = os.environ.get("SPARK_GRAFT_SCALE_ADVERSARIAL") == "1"
     out_path = os.path.join(
