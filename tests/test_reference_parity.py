@@ -51,8 +51,20 @@ def test_reference_template_deid_semantics(spark, sample, template):
     assert len(out) == 10
     for rid, row in out.items():
         orig = src[rid]
-        # cryptoHash on Card PIN → 64-hex surrogate, deterministic on value
-        assert re.fullmatch(r"[0-9a-f]{64}", row["Card PIN"])
+        # cryptoHash on Card PIN → the compiler's DEFAULT is now strict
+        # HMAC-SHA-256 emitted base64 like the DLP service (32-byte MAC →
+        # 44-char base64), bit-identical to the reference's construction
+        assert re.fullmatch(r"[A-Za-z0-9+/]{43}=", row["Card PIN"])
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        want = base64.b64encode(
+            _hmac.new(
+                KEY.encode(), orig["Card PIN"].encode(), hashlib.sha256
+            ).digest()
+        ).decode()
+        assert row["Card PIN"] == want
         # characterMask SSN: first 5 digits masked, '-' skipped
         assert re.fullmatch(r"\*\*\*-\*\*-\d{4}", row["SSN"])
         assert row["SSN"][-4:] == orig["SSN"][-4:]
