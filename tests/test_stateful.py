@@ -369,3 +369,53 @@ def test_bucketed_assembler_multi_batch_catchup(spark, tmp_path):
     )
     got = _run_stream(spark, out, "bkt_catchup").filter("conv_id <> '__flush__'")
     assert got.select("conv_id").distinct().count() >= 100
+
+
+def test_deid_sessions_bucketed_single_query_stream(spark, tmp_path):
+    """The bench's production path — deid → BUCKETED session assembly in ONE
+    streaming query — equals the per-key batch composition, with exactly one
+    stateful operator in the plan."""
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 2000, n_conversations=40)
+    d = str(tmp_path / "deid_sess_bkt_in")
+    tdf.coalesce(2).write.mode("append").parquet(d)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.write.mode("append").parquet(d)
+
+    template = dds.DeidTemplate.from_file(
+        os.path.join(os.path.dirname(__file__), "..", "configs/deid_transcripts.json"),
+        crypto_key="0123456789abcdef",
+    )
+    out = jobs.deid_sessions_stream(
+        spark, template, d, gap_ms=300_000, watermark="1 minute", n_buckets=5
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deid_sess_bkt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns)
+        for r in spark.table("deid_sess_bkt").filter("conv_id <> '__flush__'").collect()
+    }
+    ops = [s["operatorName"] for s in (q.lastProgress or {}).get("stateOperators", [])]
+    assert ops == ["applyInPandasWithState"], ops
+
+    want = {
+        (r.conv_id, r.first_ms): (r.n_turns, r.n_pii_turns)
+        for r in stateful.conversation_assembler(
+            dds.deidentify(tdf, template), gap_ms=300_000
+        ).collect()
+    }
+    assert got == want and len(want) >= 30
+    assert sum(v[1] for v in want.values()) > 0
