@@ -100,6 +100,7 @@ def batched_requests(
     flush_gap_ms: int = 10_000,
     watermark: str = "10 seconds",
     order_col: "str | None" = None,
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Greedy byte-budget batching per key with event-time flush.
 
@@ -113,7 +114,28 @@ def batched_requests(
     in streaming it orders only within each delivered chunk — arrival order
     across micro-batches is the semantic, as in the reference's BagState).
     Output: key, batch_seq, n_rows, n_bytes.
+
+    ``n_buckets``: super-key mode — ONE state row (JSON map of per-key
+    buffers) and ONE pandas dispatch per ``pmod(xxhash64(key), n_buckets)``
+    bucket, ``pack_greedy`` still applied per key inside it. Same
+    amortization as ``conversation_assembler(n_buckets=...)`` — this IS the
+    reference's ShardRows→BatchRequestForDLP shape (shard precisely so
+    per-key dispatch amortizes, beam/ShardRows.java:66-81); at millions of
+    live keys per-key Arrow dispatch dominates the stateless work. Output
+    identical to per-key mode (pinned by tests).
     """
+    if n_buckets is not None:
+        return _bucketed_batched_requests(
+            df,
+            key_col,
+            payload_col,
+            ts_col,
+            max_batch_bytes,
+            flush_gap_ms,
+            watermark,
+            order_col,
+            n_buckets,
+        )
 
     def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
         if order_col is not None:
@@ -485,6 +507,127 @@ def _bucketed_assembler(
     return wdf.groupBy("__bucket").applyInPandasWithState(
         fn,
         CONV_OUTPUT_SCHEMA,
+        _SUPER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _bucketed_batched_requests(
+    df: DataFrame,
+    key_col: str,
+    payload_col: str,
+    ts_col: str,
+    max_batch_bytes: int,
+    flush_gap_ms: int,
+    watermark: str,
+    order_col: "str | None",
+    n_buckets: int,
+) -> DataFrame:
+    """Super-key implementation of ``batched_requests`` (see its docstring):
+    per-key carry buffers ride in ONE bucket state row as a JSON map
+    ``{key: [buf_bytes, buf_rows, next_seq, max_event_ms]}``; the bucket's
+    event-time timeout fires at the EARLIEST key deadline (min(max_ms) +
+    flush_gap, watermark-clamped) and flushes exactly the due keys'
+    remainders, re-arming for the rest. ``pack_greedy`` (the numpy core)
+    still runs per key — bucketing amortizes only the per-group
+    Arrow/pandas dispatch, which is what dominates at many small keys."""
+    import json
+
+    def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+        # UTF-8 BYTES, null → 0 (see batched_requests._sizes)
+        return (
+            pdf[payload_col]
+            .fillna("")
+            .astype(str)
+            .str.encode("utf-8")
+            .str.len()
+            .astype("int64")
+            .to_numpy()
+        )
+
+    def _fold(pdf: pd.DataFrame, carried: dict):
+        """Per-key pack_greedy over one bucket's delivered rows, seeded with
+        the carried buffers. Returns (emitted rows, new carried)."""
+        out: list[tuple] = []
+        ms_all = (
+            (pdf[ts_col].astype("int64") // 1_000_000)
+            if ts_col in pdf.columns and len(pdf)
+            else None
+        )
+        for key, kdf in pdf.groupby(key_col, sort=False):
+            st = carried.get(key, [0, 0, 0, 0])
+            buf_bytes, buf_rows, next_seq, max_ms = st
+            if ms_all is not None:
+                max_ms = max(max_ms, int(ms_all.loc[kdf.index].max()))
+            emitted, (buf_bytes, buf_rows, next_seq) = pack_greedy(
+                _sizes(kdf), buf_bytes, buf_rows, next_seq, max_batch_bytes
+            )
+            out.extend((key, seq, n, b) for seq, n, b in emitted)
+            carried[key] = [int(buf_bytes), int(buf_rows), int(next_seq), int(max_ms)]
+        return out, carried
+
+    wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    out_cols = ["key", "batch_seq", "n_rows", "n_bytes"]
+
+    if not wdf.isStreaming:
+
+        def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out, carried = _fold(pdf, {})
+            for key, (bb, br, seq, _ms) in carried.items():
+                if br:  # full flush: each remainder is its key's final batch
+                    out.append((key, seq, br, bb))
+            return pd.DataFrame(out, columns=out_cols)
+
+        return wdf.groupBy("__bucket").applyInPandas(bfn, BATCH_OUTPUT_SCHEMA)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        carried: dict = json.loads(state.get[0]) if state.exists else {}
+
+        if state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            due, keep = [], {}
+            for k, (bb, br, seq, max_ms) in carried.items():
+                if max_ms + flush_gap_ms <= wm:
+                    if br:
+                        due.append((k, seq, br, bb))
+                else:
+                    keep[k] = [bb, br, seq, max_ms]
+            if keep:
+                state.update((json.dumps(keep),))
+                state.setTimeoutTimestamp(
+                    max(
+                        min(v[3] + flush_gap_ms for v in keep.values()), wm + 1
+                    )
+                )
+            else:
+                state.remove()
+            if due:
+                yield pd.DataFrame(due, columns=out_cols)
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out, carried = _fold(batch, carried)
+        state.update((json.dumps(carried),))
+        state.setTimeoutTimestamp(
+            max(
+                min(v[3] + flush_gap_ms for v in carried.values()),
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    wdf = wdf.withWatermark(ts_col, watermark)
+    return wdf.groupBy("__bucket").applyInPandasWithState(
+        fn,
+        BATCH_OUTPUT_SCHEMA,
         _SUPER_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,

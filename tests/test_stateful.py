@@ -419,3 +419,88 @@ def test_deid_sessions_bucketed_single_query_stream(spark, tmp_path):
     }
     assert got == want and len(want) >= 30
     assert sum(v[1] for v in want.values()) > 0
+
+
+def test_bucketed_batched_requests_equals_per_key(spark, tmp_path):
+    """Super-key batched_requests is output-identical to per-key mode —
+    same multiset of (key, n_rows, n_bytes) batches from the streaming
+    state machine and from the batch degradation (pack_greedy still runs
+    per key inside the bucket)."""
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 3000, n_conversations=60)
+    d = str(tmp_path / "bktbr_in")
+    tdf.coalesce(2).write.mode("append").parquet(d)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.write.mode("append").parquet(d)
+
+    def run(n_buckets, name):
+        stream = jobs.read_transcript_stream(spark, d)
+        out = stateful.batched_requests(
+            stream,
+            max_batch_bytes=2_000,
+            flush_gap_ms=60_000,
+            watermark="1 minute",
+            order_col="turn_idx",
+            n_buckets=n_buckets,
+        )
+        sizes = {}
+        for r in (
+            _run_stream(spark, out, name).filter("key <> '__flush__'").collect()
+        ):
+            sizes.setdefault(r.key, []).append((r.n_rows, r.n_bytes))
+        return {k: sorted(v) for k, v in sizes.items()}
+
+    per_key = run(None, "bktbr_per_key")
+    bucketed = run(7, "bktbr_super")
+    assert bucketed == per_key and len(per_key) >= 50
+
+    def run_batch(n_buckets):
+        out = stateful.batched_requests(
+            tdf,
+            max_batch_bytes=2_000,
+            order_col="turn_idx",
+            n_buckets=n_buckets,
+        )
+        sizes = {}
+        for r in out.collect():
+            sizes.setdefault(r.key, []).append((r.n_rows, r.n_bytes))
+        return {k: sorted(v) for k, v in sizes.items()}
+
+    assert run_batch(7) == run_batch(None)
+
+
+def test_bucketed_batched_requests_multi_batch_catchup(spark, tmp_path):
+    """Bucketed batched_requests survives watermark catch-up over
+    time-unordered files and flushes remainders for every key."""
+    from dlp_dataflow_deidentification_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    tdf = synthesize_transcripts(spark, 5000, n_conversations=120)
+    d = str(tmp_path / "bktbr_catchup_in")
+    tdf.repartition(8).write.mode("append").parquet(d)
+    import time as _time
+
+    _time.sleep(1.1)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.read_transcript_stream(spark, d, max_files_per_trigger=2)
+    out = stateful.batched_requests(
+        stream,
+        max_batch_bytes=2_000,
+        flush_gap_ms=60_000,
+        watermark="1 minute",
+        n_buckets=16,
+    )
+    got = _run_stream(spark, out, "bktbr_catchup").filter("key <> '__flush__'")
+    assert got.select("key").distinct().count() >= 100
