@@ -571,6 +571,9 @@ def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.streaming import stateful
 
     tdf = _transcripts(spark, sf_dir)
+    # n_buckets: super-key batching — pack_greedy still runs per key, but
+    # one pandas dispatch per bucket instead of per conversation; output
+    # identical to per-key mode (test_bucketed_batched_requests_equals_per_key)
     out = stateful.batched_requests(
         tdf,
         key_col="conv_id",
@@ -578,6 +581,7 @@ def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         max_batch_bytes=500,
         order_col="turn_idx",
+        n_buckets=64,
     )
     return out.select(
         "key",
