@@ -130,3 +130,47 @@ def test_mixed_format_keep_one_across_restart(spark, dirs):
     delta = j2.read_table("delta")
     assert set(delta.columns) == {"a", "b", "source_key"}
     assert sorted((r.a, r.b) for r in delta.collect()) == [("1", "x"), ("99", "YY")]
+
+
+def test_tsv_leg_and_txt_ledger_wins_over_constructor_headers(spark, dirs):
+    """TSV routes under tab delimiter regardless of the csv delimiter knob,
+    and a txt key's columns come from the durable ledger on restart even if
+    the new pipeline instance is constructed with DIFFERENT txt_headers
+    (keep-one: first resolution wins forever)."""
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    _write(os.path.join(dirs["in"], "eps.tsv"), ["a\tb", "1\tx"])
+    _write(os.path.join(dirs["in"], "zeta.txt"), ["7;m"])
+    j1 = DynamicSchemaFileStream(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        txt_headers=["u", "v"],
+        txt_delimiter=";",
+    )
+    j1.run_to_completion()
+    assert sorted(
+        (r.a, r.b) for r in j1.read_table("eps").collect()
+    ) == [("1", "x")]
+    assert sorted(
+        (r.u, r.v) for r in j1.read_table("zeta").collect()
+    ) == [("7", "m")]
+
+    # restart with DIFFERENT txt headers: the ledger's first resolution wins
+    os.makedirs(os.path.join(dirs["in"], "later"))
+    _write(os.path.join(dirs["in"], "later", "zeta.txt"), ["8;n"])
+    j2 = DynamicSchemaFileStream(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        txt_headers=["x1", "x2"],  # ignored for key 'zeta' — ledger wins
+        txt_delimiter=";",
+    )
+    j2.run_to_completion()
+    zeta = j2.read_table("zeta")
+    assert set(zeta.columns) == {"u", "v", "source_key"}
+    assert sorted((r.u, r.v) for r in zeta.collect()) == [("7", "m"), ("8", "n")]
