@@ -117,8 +117,12 @@ def batched_requests(
 
     ``n_buckets``: super-key mode — ONE state row (JSON map of per-key
     buffers) and ONE pandas dispatch per ``pmod(xxhash64(key), n_buckets)``
-    bucket, ``pack_greedy`` still applied per key inside it. Same
-    amortization as ``conversation_assembler(n_buckets=...)`` — this IS the
+    bucket, ``pack_greedy`` still applied per key inside it (ordering
+    nuance: with ``order_col``, per-key mode sorts each delivered Arrow
+    chunk; bucketed mode sorts the key's rows across the WHOLE delivered
+    micro-batch — a strict superset, and identical whenever a key's rows
+    fit one chunk or arrive ordered). Same amortization as
+    ``conversation_assembler(n_buckets=...)`` — this IS the
     reference's ShardRows→BatchRequestForDLP shape (shard precisely so
     per-key dispatch amortizes, beam/ShardRows.java:66-81); at millions of
     live keys per-key Arrow dispatch dominates the stateless work. Output
