@@ -162,7 +162,71 @@ def _run_once(
     raise RuntimeError(f"no result from {cpus} (log: {log}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def materialize_stateful_input(in_dir: str, turns: int) -> None:
+    sys.path.insert(0, HERE)
+    from bench import build_spark
+    from dlp_dataflow_deidentification_spark.sources.transcripts import synthesize_transcripts
+
+    spark = build_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_transcripts(spark, turns, n_conversations=50000).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    spark.stop()
+
+
+def run_stateful_scaling() -> None:
+    """N vs 4N for the chained deid → BUCKETED stateful-sessions stream
+    (SPARK_GRAFT_SCALING_ONLY=stateful): the bucket shuffle + RocksDB state
+    store must scale across executor JVMs, not just the stateless
+    projection. Fewer turns than the stream mode (env
+    SPARK_GRAFT_SCALING_STATEFUL_TURNS, default 2M) — the per-trial wall at
+    N=1 is ~6x the stateless leg's. MERGES into the existing
+    BENCH_SCALING.json under stateful_* keys."""
+    turns = int(os.environ.get("SPARK_GRAFT_SCALING_STATEFUL_TURNS", "2000000"))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workroot = tempfile.mkdtemp(prefix="dlp_scaling_st_", dir=base)
+    try:
+        in_dir = os.path.join(workroot, "in")
+        materialize_stateful_input(in_dir, turns)
+        zip_path = os.path.join(workroot, "dds.zip")
+        subprocess.run(
+            ["zip", "-qr", zip_path, "dlp_dataflow_deidentification_spark"],
+            cwd=HERE,
+            check=True,
+        )
+        os.environ["STATEFUL_EXPECT_ROWS"] = str(turns)
+        results = run_levels_interleaved(
+            LEVELS, in_dir, zip_path, workroot, mode="stateful"
+        )
+        lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+        eff = (hi["median_turns_per_sec"] / lo["median_turns_per_sec"]) / (
+            LEVELS[1] / LEVELS[0]
+        )
+        path = os.path.join(HERE, "BENCH_SCALING.json")
+        report = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                report = json.load(f)
+        report["stateful_turns"] = turns
+        report["stateful_levels"] = {f"local[{c}]": r for c, r in results.items()}
+        report["stateful_scaling_efficiency"] = round(eff, 3)
+        report["stateful_note"] = (
+            "deid -> bucketed (n_buckets=256) applyInPandasWithState session "
+            "assembly as ONE query over RocksDB state, same N vs 4N "
+            "single-core-executor protocol"
+        )
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps({k: report[k] for k in ("stateful_turns", "stateful_scaling_efficiency")}))
+    finally:
+        shutil.rmtree(workroot, ignore_errors=True)
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "stateful":
+        run_stateful_scaling()
+        return
     # RAM-backed workdir: the sandbox's shared disk would otherwise dominate
     # the measurement; the criterion targets the ENGINE's scaling behavior
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None

@@ -96,6 +96,73 @@ def main() -> None:
         spark.stop()
         return
 
+    if os.environ.get("SCALING_MODE") == "stateful":
+        # chained deid → BUCKETED stateful session assembly (ONE query,
+        # RocksDB state): the arbitrary-per-key-logic path's own N vs 4N
+        # evidence — the bucket shuffle + state store must scale across
+        # executors, not just the stateless projection
+        mft = int(os.environ.get("MAX_FILES_PER_TRIGGER", "64"))
+        jobs.use_rocksdb_state_store(spark)
+
+        def run_once(tag: str):
+            cap = metrics.ProgressCapture()
+            spark.streams.addListener(cap)
+            try:
+                t0 = time.time()
+                q = (
+                    jobs.deid_sessions_stream(
+                        spark,
+                        template,
+                        input_dir,
+                        gap_ms=1_800_000,
+                        watermark="1 minute",
+                        max_files_per_trigger=mft,
+                        n_buckets=256,
+                    )
+                    .writeStream.format("noop")
+                    .option(
+                        "checkpointLocation", os.path.join(work_dir, f"ckpt_{tag}")
+                    )
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(3600)
+                if q.isActive:
+                    q.stop()
+                wall = time.time() - t0
+                # listener events are delivered async — drain until the
+                # expected row count (when known) or a short timeout
+                expect = int(os.environ.get("STATEFUL_EXPECT_ROWS", "0"))
+                for _ in range(120):
+                    if expect <= 0 or cap.total_rows() >= expect:
+                        break
+                    time.sleep(0.25)
+                return wall, cap.total_rows(), cap
+            finally:
+                spark.streams.removeListener(cap)
+
+        if os.environ.get("SCALING_WARMUP", "1") == "1":
+            run_once("warm")
+        cpu0 = _jvm_cpu_seconds()
+        wall, n, cap = run_once("main")
+        cpu_sec = round(_jvm_cpu_seconds() - cpu0, 2)
+        print(
+            "SCALING_RESULT "
+            + json.dumps(
+                {
+                    "master": spark.sparkContext.master,
+                    "rows": n,
+                    "wall_sec": round(wall, 2),
+                    "turns_per_sec": round(n / wall, 1),
+                    "p50_batch_ms": round(cap.p50_batch_ms(), 1),
+                    "jvm_cpu_sec": cpu_sec,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     mft = int(os.environ.get("MAX_FILES_PER_TRIGGER", "2"))
     if os.environ.get("SCALING_WARMUP", "1") == "1":
         # full warmup pass in the same JVM (throwaway sink/checkpoint): JIT
