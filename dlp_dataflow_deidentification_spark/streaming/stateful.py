@@ -282,13 +282,22 @@ def _fold_bucket(pdf: pd.DataFrame, carried: dict, gap_ms: int):
         first=("ms", "min"),
         last=("ms", "max"),
     )
+    # the carried open session SEEDS the fold (rank 0, BEFORE every chunk
+    # session regardless of its own timestamps): the scalar per-key rule
+    # splits only on a FORWARD gap (ms - running_last >= gap), so a late
+    # chunk session entirely EARLIER than the carried one still merges into
+    # it — sorting carried into timestamp position would wrongly close it
+    # (found by test_fold_bucket_equals_scalar_fold_property)
+    sess["_rank"] = 1
     if carried:
         cf = pd.DataFrame(
-            [(c, v[0], v[1], v[2], v[3]) for c, v in carried.items()],
-            columns=["conv", "n", "npii", "first", "last"],
+            [(c, v[0], v[1], v[2], v[3], 0) for c, v in carried.items()],
+            columns=["conv", "n", "npii", "first", "last", "_rank"],
         )
         sess = pd.concat([sess, cf], ignore_index=True)
-    sess = sess.sort_values(["conv", "first"], kind="mergesort", ignore_index=True)
+    sess = sess.sort_values(
+        ["conv", "_rank", "first"], kind="mergesort", ignore_index=True
+    )
     new_conv2 = sess["conv"].ne(sess["conv"].shift())
     # running max of `last` within the conv: a carried session can span
     # several chunk sessions; shift() crossing a conv boundary is masked

@@ -145,3 +145,94 @@ def test_vectorized_packer_equals_scalar_greedy(sizes, carry_bytes, carry_rows, 
     got = pack_greedy(sizes, carry_bytes, carry_rows, 7, max_bytes)
     want = scalar()
     assert (got[0], tuple(got[1])) == (want[0], tuple(want[1]))
+
+
+# ---------------------------------------------------------------------------
+# bucketed session fold ≡ per-key scalar fold (pure pandas, no Spark job):
+# the super-key mode's two-cumsum merge (including the carried-session
+# running-max rule) must reproduce the scalar per-key fold on arbitrary
+# timestamps — ties, negative ms, carried sessions overlapping/bridging
+# chunk sessions, late rows before the carried start.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_fold(rows_ms_pii, carried, gap_ms):
+    """The per-key reference fold (streaming/stateful.py::_sessions semantics):
+    rows sorted by ms, split when ms - running_last >= gap, min/max merge."""
+    n, npii, first, last = carried
+    out = []
+    for ms, pii in sorted(rows_ms_pii, key=lambda x: x[0]):
+        if n and ms - last >= gap_ms:
+            out.append((n, npii, first, last))
+            n, npii = 0, 0
+        n += 1
+        npii += pii
+        first = ms if n == 1 else min(first, ms)
+        last = ms if n == 1 else max(last, ms)
+    return out, (n, npii, first, last)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # conv id (few keys → collisions)
+            st.integers(min_value=-50, max_value=50),  # ms (small range → ties/gaps)
+            st.booleans(),  # pii flag
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.dictionaries(  # carried open sessions per conv
+        st.integers(min_value=0, max_value=3),
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # n
+            st.integers(min_value=0, max_value=5),  # npii
+            st.integers(min_value=-60, max_value=60),  # first
+            st.integers(min_value=-60, max_value=60),  # last
+        ),
+        max_size=4,
+    ),
+)
+def test_fold_bucket_equals_scalar_fold_property(rows, carried_raw):
+    import pandas as pd
+
+    from dlp_dataflow_deidentification_spark.streaming.stateful import _fold_bucket
+
+    GAP = 10
+    # normalize carried: first <= last
+    carried = {
+        str(c): [n, npii, min(f, l), max(f, l)]
+        for c, (n, npii, f, l) in carried_raw.items()
+    }
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [str(c) for c, _, _ in rows],
+            "ts": pd.to_datetime([ms * 1_000_000 for _, ms, _ in rows], unit="ns"),
+            "text": ["[PII]" if p else "x" for _, _, p in rows],
+        }
+    )
+    sessions, is_open = _fold_bucket(pdf, dict(carried), GAP)
+
+    convs = sorted(set(pdf["conv_id"]) | set(carried))
+    for conv in convs:
+        rows_c = [
+            (ms, int(p)) for c, ms, p in rows if str(c) == conv
+        ]
+        want_closed, want_open = _scalar_fold(
+            rows_c, tuple(carried.get(conv, (0, 0, 0, 0))), GAP
+        )
+        got = sessions[sessions["conv_id"] == conv]
+        got_closed = [
+            (r.n_turns, r.n_pii_turns, r.first_ms, r.last_ms)
+            for r, op in zip(got.itertuples(), is_open[got.index.to_numpy()])
+            if not op
+        ]
+        got_open = [
+            (r.n_turns, r.n_pii_turns, r.first_ms, r.last_ms)
+            for r, op in zip(got.itertuples(), is_open[got.index.to_numpy()])
+            if op
+        ]
+        assert sorted(got_closed) == sorted(want_closed), (conv, rows_c, carried)
+        if rows_c or conv in carried:
+            assert got_open == [want_open], (conv, rows_c, carried)
