@@ -640,6 +640,65 @@ def q_conv_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DLP date-primitive template (reference date shapes: timePartConfig and
+# dateShiftConfig with cryptoKey+context — same knobs as
+# dlp-demo-deid-config.json's transformation list)
+DATES_TEMPLATE = {
+    "deidentifyConfig": {
+        "recordTransformations": {
+            "fieldTransformations": [
+                {
+                    "fields": [{"name": "order_year"}],
+                    "primitiveTransformation": {"timePartConfig": {"partToExtract": "YEAR"}},
+                },
+                {
+                    "fields": [{"name": "order_month"}],
+                    "primitiveTransformation": {"timePartConfig": {"partToExtract": "MONTH"}},
+                },
+                {
+                    "fields": [{"name": "shifted_ts"}],
+                    "primitiveTransformation": {
+                        "dateShiftConfig": {
+                            "upperBoundDays": 100,
+                            "lowerBoundDays": 0,
+                            "context": {"name": "o_custkey"},
+                        }
+                    },
+                },
+            ]
+        }
+    }
+}
+
+
+def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date primitives through the template compiler: timePartConfig
+    generalization (YEAR / MONTH) plus dateShiftConfig — a deterministic
+    forward-only per-customer shift (lowerBoundDays=0, upperBoundDays=100,
+    context=o_custkey, keyed by cryptoKey) over orders.o_orderdate.
+    ``date_shift_basis="md5"`` selects the portable PRF so the DuckDB oracle
+    recomputes the exact shifted timestamps (full value oracle, not
+    rows-only); the engine default stays xxhash64 (codegen'd, faster)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    src = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("order_year"),
+        F.col("o_orderdate").alias("order_month"),
+        F.col("o_orderdate").alias("shifted_ts"),
+    )
+    template = dds.DeidTemplate.from_dict(
+        DATES_TEMPLATE, crypto_key=KEY, date_shift_basis="md5"
+    )
+    out = dds.deidentify(src, template)
+    return out.select(
+        "o_orderkey",
+        "order_year",
+        "order_month",
+        sess.epoch_seconds(F.col("shifted_ts")).alias("shifted_epoch"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -676,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inspect_offsets": q_inspect_offsets,
         "corpus_curate": q_corpus_curate,
         "sliding_infotype_hits": q_sliding_infotype_hits,
+        "deid_dates": q_deid_dates,
     }
 
 
@@ -809,6 +869,19 @@ def oracle_sql() -> dict[str, str]:
         "text_metrics": _text_metrics_oracle(),
         "corpus_curate": _corpus_curate_oracle(),
         "sliding_infotype_hits": _sliding_hits_oracle(),
+        # portable 60-bit md5 PRF (same construction as the simhash oracle):
+        # DuckDB recomputes the exact per-customer day shift, so the shifted
+        # timestamps are value-checked, not rows-only
+        "deid_dates": (
+            "SELECT o_orderkey,"
+            " CAST(year(o_orderdate) AS VARCHAR) AS order_year,"
+            " CAST(month(o_orderdate) AS VARCHAR) AS order_month,"
+            " CAST(floor(epoch(o_orderdate + to_days(CAST("
+            f" CAST(CAST('0x' || substr(md5('{KEY}' || CAST(o_custkey AS VARCHAR)), 1, 15)"
+            " AS UBIGINT) AS BIGINT) % 101"
+            " AS INTEGER)))) AS BIGINT) AS shifted_epoch"
+            " FROM orders"
+        ),
         "chatlog_roundtrip": (
             f"{t} SELECT CASE WHEN conv_id = 'conv-hot' THEN '9999'"
             f" ELSE substr(conv_id, 6, 10) END AS conv_id,"

@@ -316,17 +316,32 @@ def date_shift(
     key: str,
     max_days: int = 100,
     min_days: "int | None" = None,
+    hash_basis: str = "xxhash64",
 ) -> Column:
     """Shift a date/timestamp by a deterministic per-context number of days
     uniformly in [min_days, max_days] (DLP dateShiftConfig with cryptoKey
     context; lowerBoundDays/upperBoundDays are both honored — e.g.
     min_days=0 gives DLP's valid forward-only shift). ``min_days`` defaults
-    to -max_days (the symmetric legacy behavior)."""
+    to -max_days (the symmetric legacy behavior).
+
+    ``hash_basis`` picks the keyed PRF that derives the shift:
+      - ``"xxhash64"`` (default): Spark's codegen'd 64-bit hash — fastest.
+      - ``"md5"``: top-60-bits-of-md5, portable across engines (DuckDB:
+        ``CAST(CAST('0x'||substr(md5(k||ctx),1,15) AS UBIGINT) AS BIGINT)``)
+        so the full shifted value is oracle-checkable outside Spark.
+    Both are uniform over the span; neither changes the DLP semantics
+    (deterministic per (key, context), bounded shift)."""
     lower = -max_days if min_days is None else min_days
     if lower > max_days:
         raise ValueError(f"min_days ({lower}) must be <= max_days ({max_days})")
     span = max_days - lower + 1
-    days = F.pmod(
-        F.xxhash64(F.concat(F.lit(key), context.cast("string"))), F.lit(span)
-    ) + F.lit(lower)
+    keyed = F.concat(F.lit(key), context.cast("string"))
+    if hash_basis == "xxhash64":
+        h = F.xxhash64(keyed)
+    elif hash_basis == "md5":
+        # 60-bit value: always non-negative, so pmod == % on both engines
+        h = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+    days = F.pmod(h, F.lit(span)) + F.lit(lower)
     return F.timestamp_add("DAY", days.cast("int"), col.cast("timestamp"))

@@ -82,6 +82,7 @@ class DeidTemplate:
         custom_infotypes: dict[str, infotypes.InfoType] | None = None,
         deterministic_mode: str = "siv",
         hash_mode: str = "hmac",
+        date_shift_basis: str = "xxhash64",
     ) -> "DeidTemplate":
         # validate the mode knobs eagerly — a typo'd mode on a template whose
         # primitives never reach the matching branch must still fail loudly,
@@ -92,6 +93,10 @@ class DeidTemplate:
             )
         if hash_mode not in ("hmac", "sha256"):
             raise ValueError(f"hash_mode must be 'hmac' or 'sha256', got {hash_mode!r}")
+        if date_shift_basis not in ("xxhash64", "md5"):
+            raise ValueError(
+                f"date_shift_basis must be 'xxhash64' or 'md5', got {date_shift_basis!r}"
+            )
         doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
         cfg = doc.get("deidentifyConfig", doc)
@@ -143,7 +148,7 @@ class DeidTemplate:
             out.transformations.append(
                 FieldTransformation(
                     fields_,
-                    _primitive(prim, crypto_key, deterministic_mode, hash_mode),
+                    _primitive(prim, crypto_key, deterministic_mode, hash_mode, date_shift_basis),
                     list(prim)[0],
                 )
             )
@@ -222,6 +227,7 @@ def _primitive(
     crypto_key: "str | None",
     deterministic_mode: str = "siv",
     hash_mode: str = "hmac",
+    date_shift_basis: str = "xxhash64",
 ) -> Callable[[Column], Column]:
     if "cryptoHashConfig" in prim:
         crypto_key = _require_key(crypto_key, "cryptoHashConfig")
@@ -289,7 +295,12 @@ def _primitive(
         # deterministic per-context shift; without a context field the value
         # itself keys the shift (DLP shifts randomly per value in that case)
         return lambda c: transforms.date_shift(
-            c, F.col(ctx) if ctx else c, crypto_key, max_days=upper, min_days=lower
+            c,
+            F.col(ctx) if ctx else c,
+            crypto_key,
+            max_days=upper,
+            min_days=lower,
+            hash_basis=date_shift_basis,
         )
     if "replaceConfig" in prim:
         nv = prim["replaceConfig"]["newValue"]["stringValue"]

@@ -238,6 +238,60 @@ def test_date_shift_honors_lower_bound(spark):
     assert all(r.fwd for r in rows)
 
 
+def test_date_shift_md5_basis(spark):
+    """hash_basis='md5' (the oracle-portable PRF): deterministic per context,
+    bounded, uniform construction identical to the DuckDB-side recompute —
+    and distributionally different from xxhash64 (they are different PRFs,
+    so at least one of 28 contexts must shift differently)."""
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", f"u{d % 14}") for d in range(1, 29)],
+        "d string, k string",
+    )
+    out = df.select(
+        F.col("d").cast("timestamp").alias("base"),
+        F.col("k"),
+        transforms.date_shift(
+            F.col("d"), F.col("k"), KEY16, max_days=10, min_days=0, hash_basis="md5"
+        ).alias("md5_o"),
+        transforms.date_shift(
+            F.col("d"), F.col("k"), KEY16, max_days=10, min_days=0
+        ).alias("xx_o"),
+    ).collect()
+    md5_days = {r.k: (r.md5_o - r.base).days for r in out}
+    per_row = [(r.k, (r.md5_o - r.base).days) for r in out]
+    assert all(0 <= d <= 10 for d in md5_days.values())
+    # deterministic per context key across rows
+    assert all(md5_days[k] == d for k, d in per_row)
+    xx_days = {r.k: (r.xx_o - r.base).days for r in out}
+    assert md5_days != xx_days  # different PRFs
+    with pytest.raises(ValueError, match="hash_basis"):
+        transforms.date_shift(F.col("d"), F.col("k"), KEY16, hash_basis="sha1")
+
+
+def test_template_validates_date_shift_basis_eagerly():
+    """A typo'd date_shift_basis must fail loudly even on a template with no
+    dateShiftConfig primitive (same eager rule as hash_mode)."""
+    from dlp_dataflow_deidentification_spark.plans.config import DeidTemplate
+
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "x"}],
+                        "primitiveTransformation": {
+                            "timePartConfig": {"partToExtract": "YEAR"}
+                        },
+                    }
+                ]
+            }
+        }
+    }
+    with pytest.raises(ValueError, match="date_shift_basis"):
+        DeidTemplate.from_dict(doc, date_shift_basis="md-5")
+    DeidTemplate.from_dict(doc, date_shift_basis="md5")  # valid spelling ok
+
+
 def test_character_mask_counts_preexisting_mask_chars(spark):
     """The mask character in the INPUT is maskable and counts toward
     number_to_mask (the old chained-regexp form skipped it and masked a 4th
