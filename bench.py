@@ -126,7 +126,7 @@ def run_streaming_bench(spark) -> dict:
                 os.path.join(workdir, "ckpt"),
                 max_files_per_trigger=8,
             )
-            job.run_to_completion(timeout_sec=1800)
+            finished1 = job.run_to_completion(timeout_sec=1800)
             wall = time.time() - t0
             for _ in range(60):
                 if cap.total_rows() >= STREAM_TURNS:
@@ -174,11 +174,15 @@ def run_streaming_bench(spark) -> dict:
         # (an incomplete run must not overstate throughput)
         turns2 = STREAM_TURNS if finished2 else min(cap2.total_rows(), STREAM_TURNS)
 
+        # on timeout, rate from rows actually COMMITTED (sink lineage), not
+        # the full input (same rule as the stateful leg below)
+        turns1 = STREAM_TURNS if finished1 else min(n_out, STREAM_TURNS)
         return {
-            "turns": STREAM_TURNS,
+            "turns": turns1,
+            "finished": finished1,
             "rows_committed": n_out,
             "wall_sec": round(wall, 2),
-            "turns_per_sec_wall": round(STREAM_TURNS / wall, 1),
+            "turns_per_sec_wall": round(turns1 / wall, 1),
             "turns_per_sec_busy": round(cap.throughput_rows_per_sec(), 1),
             "p50_batch_ms": round(cap.p50_batch_ms(), 1),
             "n_batches": len([b for b in cap.batches if b.num_input_rows > 0]),

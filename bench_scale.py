@@ -249,7 +249,9 @@ def run_stateful_curve(spark, workdir: str, turns: int, conv_levels: list[int]) 
             wall = time.time() - t0
             level[name] = {
                 "wall_sec": round(wall, 2),
-                "turns_per_sec": round(turns / wall, 1),
+                # a timed-out run processed only part of `turns` — a rate
+                # over the full count would overstate throughput
+                "turns_per_sec": round(turns / wall, 1) if finished else None,
                 "finished": finished,
             }
             shutil.rmtree(ckpt, ignore_errors=True)

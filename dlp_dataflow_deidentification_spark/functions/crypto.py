@@ -130,6 +130,10 @@ def crypto_hash_hmac(col: Column, key: str, encoding: str = "base64") -> Column:
     precomputed driver-side as 64-byte binary literals — two chained
     ``F.sha2`` calls inside WholeStageCodegen. Bit-equality with stdlib
     ``hmac`` is pinned by test_crypto_hash_hmac_bit_parity_with_python_hmac.
+    Non-string columns are rendered with Spark's ``cast("string")`` before
+    the MAC — the same rendering every other transform (including the
+    sha256 mode) uses, so tokens are consistent across engine code paths;
+    pinned by test_crypto_hash_rendering_of_nonstring_columns.
     This is the template compiler's DEFAULT (``hash_mode="hmac"``) so tokens
     match real DLP output bit-for-bit; ``hash_mode="sha256"`` remains the
     documented ``sha256(key ‖ value)`` opt-in (one digest instead of two,

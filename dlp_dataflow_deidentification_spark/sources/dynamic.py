@@ -88,16 +88,15 @@ _EXT_FMT = {
 }
 
 
-def _fmt_of(path: str) -> str:
+def _fmt_of(path: str) -> "str | None":
+    """Format for a file path, or None when the extension is unrecognized.
+    None files are routed to the stream's dead-letter table rather than
+    raised: a ValueError inside foreachBatch would fail the micro-batch,
+    and the checkpoint replays the SAME batch on every restart — one stray
+    ``data.bak`` would wedge the pipeline permanently (the reference's
+    analogue is the error side output, not a crash)."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path.rsplit("/", 1)[-1] else ""
-    fmt = _EXT_FMT.get(ext)
-    if fmt is None:
-        raise ValueError(
-            f"dynamic-schema stream: unrecognized file extension {ext!r} for "
-            f"{path!r}; supported: {sorted(_EXT_FMT)} (typed columnar formats "
-            "carry their own schema — read them with sources.files.read_files)"
-        )
-    return fmt
+    return _EXT_FMT.get(ext)
 
 
 @dataclass
@@ -157,6 +156,14 @@ class DynamicSchemaFileStream:
                     "txt/TxtColumnNameDoFn.java:31-35)"
                 )
             return list(self.txt_headers)
+        if self.txt_headers and len(self.txt_headers) > 1:
+            # silently keeping only txt_headers[0] would pin the key's
+            # schema (durable keep-one ledger) to one column forever
+            raise ValueError(
+                "multiple txt_headers need a txt_delimiter to split lines "
+                "into those columns; without one a txt line is a single "
+                "column"
+            )
         return [self.txt_headers[0]] if self.txt_headers else ["line"]
 
     def columns_for(self, key: str, first_path: str, fmt: str) -> list[str]:
@@ -194,20 +201,46 @@ class DynamicSchemaFileStream:
             # missing → null, extra keys dropped (keep-one degradation)
             return self.spark.read.schema(schema).json(paths)
         lines = self.spark.read.text(paths)
-        if self.txt_delimiter is None or len(cols) == 1:
-            return lines.select(F.col("value").alias(cols[0]))
+        if self.txt_delimiter is None:
+            # whole line into the FIRST pinned column; remaining pinned
+            # columns (a key whose schema was pinned by an earlier
+            # multi-column file) are null — the same "parse under the pinned
+            # schema" degradation the jsonl leg gets from by-name matching
+            return lines.select(
+                F.col("value").alias(cols[0]),
+                *[F.lit(None).cast("string").alias(c) for c in cols[1:]],
+            )
         toks = F.split(F.col("value"), re.escape(self.txt_delimiter), -1)
-        # drop on arity mismatch — ConvertTxtToDLPRow.java:65-77
+        # drop on arity mismatch — ConvertTxtToDLPRow.java:65-77 (applies
+        # even for a 1-column schema: a line containing the delimiter
+        # splits to >1 token and is dropped, as the reference's
+        # values.length != headers.size() check does)
         return lines.select(toks.alias("__t")).filter(
             F.size("__t") == len(cols)
         ).select(*[F.col("__t")[i].alias(c) for i, c in enumerate(cols)])
 
+    # reserved dead-letter table name; cannot collide with a real key —
+    # sanitize_key only prefixes "_" before a digit, never before a letter
+    DEAD_LETTER_KEY = "_dead_letter"
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # tiny driver-side list of file NAMES (≤ maxFilesPerTrigger), not rows
         files = sorted(r.f for r in batch_df.select("f").distinct().collect())
+        # unrecognized extensions → dead-letter table, not a raise: the
+        # failed micro-batch would otherwise replay from the checkpoint
+        # forever (error-side-output analogue; same pattern as
+        # notifications.py's missing-file leg)
+        dead = [p for p in files if _fmt_of(p) is None]
+        if dead:
+            rows = [(p, "unrecognized file extension") for p in dead]
+            ddf = self.spark.createDataFrame(rows, "path string, reason string")
+            IdempotentBatchSink(
+                os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
+            )(ddf, batch_id)
         by_key: dict[str, list[str]] = {}
         for p in files:
-            by_key.setdefault(sanitize_key(p), []).append(p)
+            if _fmt_of(p) is not None:
+                by_key.setdefault(sanitize_key(p), []).append(p)
         for key, paths in sorted(by_key.items()):
             cols = self.columns_for(key, paths[0], _fmt_of(paths[0]))
             by_fmt: dict[str, list[str]] = {}
@@ -252,11 +285,14 @@ class DynamicSchemaFileStream:
         trigger = trigger or {"availableNow": True}
         return writer.trigger(**trigger).start()
 
-    def run_to_completion(self, timeout_sec: int = 600) -> None:
+    def run_to_completion(self, timeout_sec: int = 600) -> bool:
+        """True iff the query drained and terminated on its own (False =
+        stopped by the timeout with work outstanding)."""
         q = self.start()
-        q.awaitTermination(timeout_sec)
+        finished = bool(q.awaitTermination(timeout_sec))
         if q.isActive:
             q.stop()
+        return finished
 
     def read_table(self, key: str) -> DataFrame:
         """Committed rows of one table key (sans the sink's batch_id

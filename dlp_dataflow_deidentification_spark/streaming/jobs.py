@@ -275,8 +275,11 @@ class StreamingDeidJob:
         trigger = trigger or {"availableNow": True}
         return writer.trigger(**trigger).start()
 
-    def run_to_completion(self, timeout_sec: int = 600) -> None:
+    def run_to_completion(self, timeout_sec: int = 600) -> bool:
+        """Returns True iff the query drained and terminated on its own
+        (False = the timeout stopped an incomplete run)."""
         q = self.start()
-        q.awaitTermination(timeout_sec)
+        finished = bool(q.awaitTermination(timeout_sec))
         if q.isActive:
             q.stop()
+        return finished

@@ -91,6 +91,30 @@ def pack_greedy(
     return out, (buf_bytes, buf_rows, next_seq)
 
 
+def _payload_sizes(
+    pdf: pd.DataFrame, payload_col: str, order_col: "str | None"
+) -> "np.ndarray":
+    """Per-row payload size in packing order — the ONE sizing rule shared by
+    the per-key and bucketed packers. fillna BEFORE astype(str): astype
+    would turn None into the literal 4-char string "None", charging null
+    payloads 4 bytes. Size = UTF-8 BYTES, not codepoints: the reference
+    budgets Table.Row.getSerializedSize()
+    (beam/BatchRequestForDLP.java:62-66), which is proto-serialized UTF-8 —
+    a codepoint count would under-charge non-ASCII payloads up to 4x and
+    overshoot max_batch_bytes."""
+    if order_col is not None:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+    return (
+        pdf[payload_col]
+        .fillna("")
+        .astype(str)
+        .str.encode("utf-8")
+        .str.len()
+        .astype("int64")
+        .to_numpy()
+    )
+
+
 def batched_requests(
     df: DataFrame,
     key_col: str = "conv_id",
@@ -142,23 +166,7 @@ def batched_requests(
         )
 
     def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
-        if order_col is not None:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-        # fillna BEFORE astype(str): astype would turn None into the literal
-        # 4-char string "None", charging null payloads 4 bytes.
-        # Size = UTF-8 BYTES, not codepoints: the reference budgets
-        # Table.Row.getSerializedSize() (beam/BatchRequestForDLP.java:62-66),
-        # which is proto-serialized UTF-8 — a codepoint count would under-
-        # charge non-ASCII payloads up to 4x and overshoot max_batch_bytes.
-        return (
-            pdf[payload_col]
-            .fillna("")
-            .astype(str)
-            .str.encode("utf-8")
-            .str.len()
-            .astype("int64")
-            .to_numpy()
-        )
+        return _payload_sizes(pdf, payload_col, order_col)
 
     wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
@@ -241,6 +249,25 @@ _SUPER_STATE_SCHEMA = StructType([StructField("packed", StringType())])
 _PII_RE = r"\[[A-Z_]+\]"
 _SESS_COLS = ["conv_id", "n_turns", "n_pii_turns", "first_ms", "last_ms"]
 
+# Bucketed modes fold in pandas, where groupby drops null keys and the
+# packed-state JSON map cannot hold a null key — but per-key mode (Spark
+# groupBy) KEEPS a null-key group, and the bucketed modes promise identical
+# output. Null keys are therefore encoded as this reserved sentinel inside
+# the fold/state and decoded back to null at every emit point. Control
+# chars cannot appear in any realistically sourced key (file names, table
+# keys, conversation ids); NUL itself is avoided — numpy's fixed-width
+# unicode storage strips trailing NUL bytes, so a bare "\\x00" silently
+# becomes "" through pandas fillna/groupby.
+_NULL_KEY = "\x01__null_key__\x01"
+
+
+def _decode_null_key(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    mask = df[col] == _NULL_KEY
+    if mask.any():
+        df = df.copy()
+        df.loc[mask, col] = None
+    return df
+
 
 def _fold_bucket(pdf: pd.DataFrame, carried: dict, gap_ms: int):
     """Vectorized gap-session fold over ALL conversations in one bucket.
@@ -270,7 +297,12 @@ def _fold_bucket(pdf: pd.DataFrame, carried: dict, gap_ms: int):
     pii = (
         pdf["text"].str.contains(_PII_RE, regex=True, na=False).to_numpy().astype("int64")
     )
-    rf = pd.DataFrame({"conv": pdf["conv_id"].to_numpy(), "ms": ms, "pii": pii})
+    conv_in = pdf["conv_id"]
+    if conv_in.isna().any():
+        # null-key group: encoded as the sentinel for the whole fold (and in
+        # the carried state map); decoded back to null by the callers
+        conv_in = conv_in.fillna(_NULL_KEY)
+    rf = pd.DataFrame({"conv": conv_in.to_numpy(), "ms": ms, "pii": pii})
     rf = rf.sort_values(["conv", "ms"], kind="mergesort", ignore_index=True)
     new_conv = rf["conv"].ne(rf["conv"].shift())
     brk = new_conv | (rf["ms"] - rf["ms"].shift() >= gap_ms)
@@ -469,7 +501,7 @@ def _bucketed_assembler(
         def bfn(pdf: pd.DataFrame) -> pd.DataFrame:
             # full flush: open sessions are final records too
             sessions, _ = _fold_bucket(pdf, {}, gap_ms)
-            return sessions
+            return _decode_null_key(sessions, "conv_id")
 
         return wdf.groupBy("__bucket").applyInPandas(bfn, CONV_OUTPUT_SCHEMA)
 
@@ -481,7 +513,7 @@ def _bucketed_assembler(
         if state.hasTimedOut:
             wm = state.getCurrentWatermarkMs()
             due = [
-                (c, v[0], v[1], v[2], v[3])
+                (None if c == _NULL_KEY else c, v[0], v[1], v[2], v[3])
                 for c, v in carried.items()
                 if v[3] + gap_ms <= wm
             ]
@@ -499,7 +531,7 @@ def _bucketed_assembler(
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         sessions, is_open = _fold_bucket(batch, carried, gap_ms)
-        closed = sessions[~is_open]
+        closed = _decode_null_key(sessions[~is_open], "conv_id")
         carried = {
             r.conv_id: [int(r.n_turns), int(r.n_pii_turns), int(r.first_ms), int(r.last_ms)]
             for r in sessions[is_open].itertuples()
@@ -548,38 +580,33 @@ def _bucketed_batched_requests(
     import json
 
     def _sizes(pdf: pd.DataFrame) -> "np.ndarray":
-        if order_col is not None:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-        # UTF-8 BYTES, null → 0 (see batched_requests._sizes)
-        return (
-            pdf[payload_col]
-            .fillna("")
-            .astype(str)
-            .str.encode("utf-8")
-            .str.len()
-            .astype("int64")
-            .to_numpy()
-        )
+        return _payload_sizes(pdf, payload_col, order_col)
 
     def _fold(pdf: pd.DataFrame, carried: dict):
         """Per-key pack_greedy over one bucket's delivered rows, seeded with
-        the carried buffers. Returns (emitted rows, new carried)."""
+        the carried buffers. Returns (emitted rows, new carried).
+        ``dropna=False`` + sentinel: per-key mode keeps a null-key group
+        (Spark groupBy), so the bucketed fold must too — pandas groupby
+        would silently drop those rows, and the carried JSON map needs a
+        string key (_NULL_KEY), decoded back to null on emit."""
         out: list[tuple] = []
         ms_all = (
             (pdf[ts_col].astype("int64") // 1_000_000)
             if ts_col in pdf.columns and len(pdf)
             else None
         )
-        for key, kdf in pdf.groupby(key_col, sort=False):
-            st = carried.get(key, [0, 0, 0, 0])
+        for key, kdf in pdf.groupby(key_col, sort=False, dropna=False):
+            k_enc = _NULL_KEY if pd.isna(key) else key
+            k_out = None if pd.isna(key) else key
+            st = carried.get(k_enc, [0, 0, 0, 0])
             buf_bytes, buf_rows, next_seq, max_ms = st
             if ms_all is not None:
                 max_ms = max(max_ms, int(ms_all.loc[kdf.index].max()))
             emitted, (buf_bytes, buf_rows, next_seq) = pack_greedy(
                 _sizes(kdf), buf_bytes, buf_rows, next_seq, max_batch_bytes
             )
-            out.extend((key, seq, n, b) for seq, n, b in emitted)
-            carried[key] = [int(buf_bytes), int(buf_rows), int(next_seq), int(max_ms)]
+            out.extend((k_out, seq, n, b) for seq, n, b in emitted)
+            carried[k_enc] = [int(buf_bytes), int(buf_rows), int(next_seq), int(max_ms)]
         return out, carried
 
     wdf = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
@@ -593,7 +620,7 @@ def _bucketed_batched_requests(
             out, carried = _fold(pdf, {})
             for key, (bb, br, seq, _ms) in carried.items():
                 if br:  # full flush: each remainder is its key's final batch
-                    out.append((key, seq, br, bb))
+                    out.append((None if key == _NULL_KEY else key, seq, br, bb))
             return pd.DataFrame(out, columns=out_cols)
 
         return wdf.groupBy("__bucket").applyInPandas(bfn, BATCH_OUTPUT_SCHEMA)
@@ -609,7 +636,7 @@ def _bucketed_batched_requests(
             for k, (bb, br, seq, max_ms) in carried.items():
                 if max_ms + flush_gap_ms <= wm:
                     if br:
-                        due.append((k, seq, br, bb))
+                        due.append((None if k == _NULL_KEY else k, seq, br, bb))
                 else:
                     keep[k] = [bb, br, seq, max_ms]
             if keep:

@@ -174,3 +174,78 @@ def test_tsv_leg_and_txt_ledger_wins_over_constructor_headers(spark, dirs):
     zeta = j2.read_table("zeta")
     assert set(zeta.columns) == {"u", "v", "source_key"}
     assert sorted((r.u, r.v) for r in zeta.collect()) == [("7", "m"), ("8", "n")]
+
+
+def test_unrecognized_extension_dead_letters_not_poison(spark, dirs):
+    """A stray unsupported file must NOT wedge the stream: a ValueError in
+    foreachBatch fails the micro-batch and the checkpoint replays it forever.
+    Instead the file is routed to the reserved _dead_letter table and the
+    recognized files in the same batch process normally."""
+    _write(os.path.join(dirs["in"], "alpha.csv"), ["a,b", "1,x"])
+    _write(os.path.join(dirs["in"], "stray.bak"), ["junk"])
+    _write(os.path.join(dirs["in"], "noext"), ["junk"])
+
+    job = DynamicSchemaCsvStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()  # query drained; no poison-pill crash
+
+    alpha = job.read_table("alpha")
+    assert sorted((r.a, r.b) for r in alpha.collect()) == [("1", "x")]
+    dead = job.read_table(job.DEAD_LETTER_KEY)
+    got = sorted(os.path.basename(r.path) for r in dead.collect())
+    assert got == ["noext", "stray.bak"]
+
+
+def test_txt_under_multicolumn_pinned_schema(spark, dirs):
+    """A .txt file (no txt_delimiter) arriving under a key already pinned to
+    a multi-column schema parses under THAT schema: whole line in the first
+    pinned column, remaining columns null — not a 1-column frame that
+    crashes the same-batch union or drifts the sink's schema."""
+    _write(os.path.join(dirs["in"], "kappa.csv"), ["a,b", "1,x"])
+    j1 = DynamicSchemaCsvStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    j1.run_to_completion()
+
+    os.makedirs(os.path.join(dirs["in"], "later"))
+    _write(os.path.join(dirs["in"], "later", "kappa.txt"), ["free text line"])
+    j2 = DynamicSchemaCsvStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    j2.run_to_completion()
+
+    rows = sorted(
+        (r.a, r.b) for r in j2.read_table("kappa").collect()
+    )
+    assert rows == [("1", "x"), ("free text line", None)]
+
+
+def test_txt_delimiter_arity_filter_applies_to_single_column(spark, dirs):
+    """With a txt_delimiter, a line whose token count differs from the
+    pinned column count is DROPPED (ConvertTxtToDLPRow.java:65-77) — even
+    when the schema is a single column, so a delimiter-bearing line is not
+    silently kept whole."""
+    _write(os.path.join(dirs["in"], "mono.txt"), ["good", "bad|line", "ok"])
+    job = DynamicSchemaCsvStream(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        txt_headers=["v"],
+        txt_delimiter="|",
+    )
+    job.run_to_completion()
+    assert sorted(r.v for r in job.read_table("mono").collect()) == ["good", "ok"]
+
+
+def test_multi_txt_headers_without_delimiter_raise(spark, dirs):
+    """Multiple txt_headers with no txt_delimiter would silently pin a
+    1-column schema (dropping the other declared columns, durably) — the
+    constructor path raises instead."""
+    import pytest as _pytest
+
+    _write(os.path.join(dirs["in"], "tau.txt"), ["x"])
+    job = DynamicSchemaCsvStream(
+        spark,
+        dirs["in"],
+        dirs["out"],
+        dirs["ckpt"],
+        txt_headers=["u", "v"],
+    )
+    with _pytest.raises(ValueError, match="txt_delimiter"):
+        job._discover_columns(os.path.join(dirs["in"], "tau.txt"), "txt")

@@ -504,3 +504,83 @@ def test_bucketed_batched_requests_multi_batch_catchup(spark, tmp_path):
     )
     got = _run_stream(spark, out, "bktbr_catchup").filter("key <> '__flush__'")
     assert got.select("key").distinct().count() >= 100
+
+
+def test_bucketed_modes_keep_null_key_rows(spark, tmp_path):
+    """Per-key mode (Spark groupBy) keeps a null-key group; the bucketed
+    folds must emit IDENTICAL output for null keys instead of silently
+    dropping them (pandas groupby dropna default) or splitting them per-row
+    (NaN != NaN in the conv-boundary mask). Exercises batch + streaming,
+    assembler + packer; streaming uses maxFilesPerTrigger=1 so the null
+    conversation is carried across micro-batch state (JSON sentinel
+    encode/decode) and flushed by the timeout branch."""
+    rows = [
+        (None, 0, "agent", "hello [EMAIL]", "N/A", "2026-01-01 10:00:00"),
+        (None, 1, "agent", "world", "N/A", "2026-01-01 10:01:00"),
+        (None, 2, "agent", "later session", "N/A", "2026-01-01 11:00:00"),
+        ("c", 0, "agent", "x", "N/A", "2026-01-01 10:00:30"),
+        ("c", 1, "agent", "y [PHONE]", "N/A", "2026-01-01 10:02:30"),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def sess_set(out_df):
+        return sorted(
+            (
+                (r.conv_id, r.first_ms, r.last_ms, r.n_turns, r.n_pii_turns)
+                for r in out_df.collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+
+    per_key = sess_set(stateful.conversation_assembler(df, gap_ms=300_000))
+    bucketed = sess_set(
+        stateful.conversation_assembler(df, gap_ms=300_000, n_buckets=2)
+    )
+    assert bucketed == per_key
+    # the null conversation assembles as ONE key with two gap-split sessions
+    assert sum(1 for s in per_key if s[0] is None) == 2
+
+    def batch_multiset(n_buckets):
+        out = stateful.batched_requests(
+            df, max_batch_bytes=8, order_col="turn_idx", n_buckets=n_buckets
+        )
+        sizes = {}
+        for r in out.collect():
+            sizes.setdefault(r.key, []).append((r.n_rows, r.n_bytes))
+        return {k: sorted(v) for k, v in sizes.items()}
+
+    pk, bk = batch_multiset(None), batch_multiset(2)
+    assert bk == pk and None in pk
+
+    # streaming: null rows in the FIRST file, flush sentinel in the second →
+    # the null session rides the carried JSON state and exits via timeout
+    d = str(tmp_path / "nullkey_in")
+    df.coalesce(1).write.mode("append").parquet(d)
+    import time as _time
+
+    _time.sleep(1.1)
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "agent", "x", "N/A", "2027-01-01 00:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    def run(n_buckets, name):
+        stream = jobs.read_transcript_stream(spark, d, max_files_per_trigger=1)
+        out = stateful.conversation_assembler(
+            stream, gap_ms=300_000, watermark="1 minute", n_buckets=n_buckets
+        )
+        return sess_set(
+            _run_stream(spark, out, name).filter(
+                "conv_id is null or conv_id <> '__flush__'"
+            )
+        )
+
+    s_pk = run(None, "nullkey_per_key")
+    s_bk = run(3, "nullkey_super")
+    assert s_bk == s_pk
+    assert sum(1 for s in s_pk if s[0] is None) == 2

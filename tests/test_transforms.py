@@ -521,3 +521,34 @@ def test_crypto_hash_hmac_long_key_and_nulls(spark):
         hmac.new(long_key.encode(), b"x", hashlib.sha256).digest()
     ).decode()
     assert out == [want, None]
+
+
+def test_crypto_hash_rendering_of_nonstring_columns(spark):
+    """Both hash modes render non-string cells with Spark's cast('string')
+    BEFORE hashing — one rendering contract across all engine code paths
+    (the earlier pandas-UDF HMAC used Python str(), which renders doubles
+    and booleans differently, e.g. '1e+20' vs '1.0E20' and 'True' vs
+    'true'; tokens minted by different paths must agree)."""
+    import base64
+    import hashlib
+    import hmac
+
+    df = spark.createDataFrame(
+        [(1e20, True, 42)], "d double, b boolean, i long"
+    )
+    rendered = df.select(
+        F.col("d").cast("string").alias("d"),
+        F.col("b").cast("string").alias("b"),
+        F.col("i").cast("string").alias("i"),
+    ).first()
+    assert (rendered.d, rendered.b, rendered.i) == ("1.0E20", "true", "42")
+    got = df.select(
+        crypto.crypto_hash_hmac(F.col("d"), KEY16).alias("hd"),
+        crypto.crypto_hash_hmac(F.col("b"), KEY16).alias("hb"),
+        transforms.crypto_hash(F.col("d"), KEY16).alias("sd"),
+    ).first()
+    mac = lambda m: base64.b64encode(
+        hmac.new(KEY16.encode(), m.encode(), hashlib.sha256).digest()
+    ).decode()
+    assert got.hd == mac("1.0E20") and got.hb == mac("true")
+    assert got.sd == hashlib.sha256((KEY16 + "1.0E20").encode()).hexdigest()
