@@ -125,6 +125,16 @@ class DynamicSchemaFileStream:
     # cluster) is authoritative
     _schemas: dict = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # statically-known misconfiguration fails at CONSTRUCTION — inside
+        # foreachBatch it would fail the micro-batch and replay forever
+        if self.txt_headers and len(self.txt_headers) > 1 and self.txt_delimiter is None:
+            raise ValueError(
+                "multiple txt_headers need a txt_delimiter to split lines "
+                "into those columns; without one a txt line is a single "
+                "column"
+            )
+
     # -- keep-one schema resolution ----------------------------------------
     @property
     def schema_ledger(self) -> LocalFSSchemaLedger:

@@ -240,12 +240,11 @@ def test_multi_txt_headers_without_delimiter_raise(spark, dirs):
     import pytest as _pytest
 
     _write(os.path.join(dirs["in"], "tau.txt"), ["x"])
-    job = DynamicSchemaCsvStream(
-        spark,
-        dirs["in"],
-        dirs["out"],
-        dirs["ckpt"],
-        txt_headers=["u", "v"],
-    )
     with _pytest.raises(ValueError, match="txt_delimiter"):
-        job._discover_columns(os.path.join(dirs["in"], "tau.txt"), "txt")
+        DynamicSchemaCsvStream(
+            spark,
+            dirs["in"],
+            dirs["out"],
+            dirs["ckpt"],
+            txt_headers=["u", "v"],
+        )
