@@ -838,7 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             f"WITH docs AS ({DOCS_SQL})"
             f" SELECT min(doc_id) AS doc_id, count(*) AS n_copies"
-            f" FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest FROM docs)"
+            f" FROM (SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest FROM docs)"
             f" GROUP BY digest"
         ),
         "ngram_jaccard": _ngram_jaccard_oracle(
@@ -976,7 +976,7 @@ def _text_metrics_oracle() -> str:
         f" round({m['punct']}, 6) AS punct_ratio,"
         f" {m['quality']} AS quality,"
         f" {m['lang']} AS lang_pred,"
-        " md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
+        " md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint"
         " FROM documents"
     )
 
@@ -1243,7 +1243,7 @@ def _corpus_curate_oracle() -> str:
         f" kept AS (SELECT * FROM metrics WHERE quality >= 0.3 AND n_tokens >= 8"
         f"   AND lang_pred IN ('en', 'und')),"
         f" winners AS (SELECT min(doc_id) AS doc_id FROM"
-        f"   (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest FROM kept)"
+        f"   (SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest FROM kept)"
         f"   GROUP BY digest)"
         f" SELECT k.doc_id, k.quality, k.lang_pred, k.n_tokens"
         f" FROM kept k JOIN winners w ON k.doc_id = w.doc_id"

@@ -105,7 +105,21 @@ BUILTIN_INFOTYPES: dict[str, InfoType] = {
 ONLINE_USER_ID = InfoType("ONLINE_USER_ID", r"\b:[0-9]{16}", kind="regex")
 
 
+def _reject_empty_match(name: str, pattern: str) -> None:
+    """A detector whose regex matches the EMPTY string is meaningless for
+    findings (it 'matches' at every position) and breaks the position-capped
+    inspect plan, whose offset derivation pairs regexp_extract_all matches
+    with split segments — the two disagree on empty matches, silently
+    misaligning offsets. Reject at construction."""
+    if re.match(pattern, "") is not None:
+        raise ValueError(
+            f"detector {name!r}: pattern {pattern!r} matches the empty "
+            "string; anchor it to at least one character (e.g. '+' not '*')"
+        )
+
+
 def custom_regex(name: str, pattern: str, likelihood: str = "LIKELY") -> InfoType:
+    _reject_empty_match(name, pattern)
     return InfoType(name, pattern, likelihood, kind="regex")
 
 
@@ -115,6 +129,10 @@ def dictionary(name: str, words: list[str], likelihood: str = "LIKELY") -> InfoT
     Mirrors DLP CustomInfoType.Dictionary; longest word first so the regex
     engine's leftmost-first alternation matches the longest phrase.
     """
+    if not words or any(w == "" for w in words):
+        # an empty word list renders '\\b(?:)\\b' which matches the empty
+        # string everywhere — see _reject_empty_match
+        raise ValueError(f"dictionary {name!r} needs at least one non-empty word")
     escaped = sorted((re.escape(w) for w in words), key=len, reverse=True)
     return InfoType(name, r"\b(?:" + "|".join(escaped) + r")\b", likelihood, "dictionary")
 

@@ -73,4 +73,4 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the exact-dedup key. (Fuzzy fingerprinting = operators.dedup.simhash64 /
     minhash_signature.)"""
-    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(F.trim(F.lower(F.regexp_replace(col, r"\s+", " "))))

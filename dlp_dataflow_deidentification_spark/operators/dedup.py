@@ -45,7 +45,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Groups by the 128-bit md5 of the normalized text — computed map-side, so
     the shuffle key is fixed-width and shuffle volume is independent of
     document length (the DuckDB oracle groups by the identical md5)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # trim AFTER collapsing: leading/trailing whitespace becomes a single
+    # edge space, which trim removes — texts differing only by a trailing
+    # newline dedup together (interior-whitespace variants already did)
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
         df.withColumn("__digest", F.md5(norm))
         .groupBy("__digest")
@@ -68,7 +71,10 @@ def shingles(text_col, n: int = 5):
     Catalyst re-evaluates the full text split once per gram (no CSE inside
     higher-order functions) — ~10x slower than the two-projection form
     ``shingle_df`` uses, where the word array is a materialized column."""
-    words = F.split(F.lower(text_col), r"\s+")
+    # drop empty tokens like shingle_df does: split of leading/trailing
+    # whitespace yields "" words that would corrupt gram text (" hi") and
+    # defeat the short-doc gate
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
     k = F.size(words) - F.lit(n - 1)
     grams = F.array_distinct(
         F.transform(
@@ -210,6 +216,16 @@ def _lsh_candidates(
     than ``max_bucket`` are dropped — a degenerate band key (e.g. the empty
     signature of boilerplate) would otherwise create an O(k²) pair bucket;
     real near-dup buckets are tiny."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make rows == 0: every band key becomes
+        # the constant hash of an EMPTY slice, the max_bucket cap drops the
+        # one giant bucket, and the function silently reports zero
+        # duplicates; a non-divisor bands would silently ignore the tail
+        # hashes of every signature
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(rows-per-band = num_hashes / bands must be a positive integer)"
+        )
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(F.lit(b), F.slice("sig", b * rows + 1, rows)).alias("band_key")

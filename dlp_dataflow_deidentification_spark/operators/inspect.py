@@ -112,14 +112,17 @@ def inspect(
             (q if include_quote else F.lit(None).cast("string")).alias("quote"),
         )
 
-    if not dets:  # everything filtered out → empty findings, stable schema
+    if not dets or not text_columns:
+        # everything filtered out (or nothing to scan) → empty findings,
+        # stable schema. where(False), not limit(0): limit is unsupported
+        # on streaming DataFrames and would crash streaming inspect jobs
         return df.select(
             *[F.col(c) for c in id_columns],
             F.lit(None).cast("string").alias("field_id"),
             F.lit(None).cast("string").alias("info_type_name"),
             F.lit(None).cast("string").alias("likelihood"),
             F.lit(None).cast("string").alias("quote"),
-        ).limit(0)
+        ).where(F.lit(False))
 
     if max_findings_per_item is not None and findings_order == "position":
         return _inspect_position_capped(
@@ -342,11 +345,12 @@ def inspect_offsets(
 
         return pd.Series([one(texts) for texts in zip(*cols)])
 
-    if not dets:
+    if not dets or not text_columns:
+        # where(False), not limit(0): streaming-safe empty frame (see inspect)
         return df.select(
             *[F.col(c) for c in id_columns],
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in _FINDING.fields],
-        ).limit(0)
+        ).where(F.lit(False))
     return df.select(
         *[F.col(c) for c in id_columns],
         F.explode(_scan(*[F.col(c) for c in text_columns])).alias("f"),

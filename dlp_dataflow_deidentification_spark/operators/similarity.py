@@ -29,6 +29,35 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
+    """One-row peek guarding against a ``dim`` mismatch. ``zip_with`` pads
+    the shorter array with nulls, so a wrong dim null-poisons every dot
+    product and the pipeline silently DEGENERATES (all vectors in bucket 0,
+    empty cell joins, zero candidate pairs) instead of erroring — fail
+    loudly here instead. One row is scanned; ragged corpora are still the
+    caller's responsibility."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row.n is not None and row.n != dim:
+        raise ValueError(
+            f"{what}: dim={dim} but column {vec_col!r} holds {row.n}-wide "
+            "vectors — pass the real embedding width"
+        )
+
+
+def _check_same_width(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, qvec_col: str, what: str
+) -> None:
+    """Corpus/query width consistency peek (same failure mode as
+    ``_check_dim``: silent null sims instead of an error)."""
+    c = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
+    q = queries.select(F.size(F.col(qvec_col)).alias("n")).first()
+    if c is not None and q is not None and c.n is not None and q.n is not None and c.n != q.n:
+        raise ValueError(
+            f"{what}: corpus vectors are {c.n}-wide but query vectors are "
+            f"{q.n}-wide"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -44,6 +73,7 @@ def cosine_topk(
     Scale: corpus-side scan is embarrassingly parallel; only the per-query
     top-k rows shuffle (k·|Q| rows, not the corpus).
     """
+    _check_same_width(corpus, queries, vec_col, vec_col, "cosine_topk")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -87,10 +117,13 @@ def cosine_topk_arrow(
     remainder rows position-dependent last-ulp results, so EXACT-duplicate
     corpus vectors can rank among themselves differently from the
     per-row-deterministic native path; dedup exact copies first if that
-    distinction matters.
+    distinction matters. Null or wrong-width corpus vectors are dropped
+    from scoring (the native path's null sim sorts last — same top-k).
     """
     import numpy as np
     import pandas as pd
+
+    _check_same_width(corpus, queries, vec_col, vec_col, "cosine_topk_arrow")
 
     # id columns keep their INPUT types (string media ids etc.), like the
     # native path — the mapInPandas schema is derived, not hardcoded long
@@ -114,10 +147,25 @@ def cosine_topk_arrow(
     qnorms[qnorms == 0] = 1.0
     Qn = Q / qnorms
 
+    width = Q.shape[1]
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # null / wrong-width corpus vectors cannot enter np.stack (it
+            # raises on None and on ragged input, failing the whole job);
+            # drop them — the native path gives them a null sim, which desc
+            # sort places last, so the surviving top-k is identical
+            ok = np.fromiter(
+                (v is not None and len(v) == width for v in pdf[vec_col]),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
             ids = pdf[id_col].to_numpy()
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.linalg.norm(C, axis=1, keepdims=True)
@@ -199,6 +247,49 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11
     )
 
 
+def _probe_membership(
+    df: DataFrame,
+    id_col: str,
+    id_alias: str,
+    table_buckets: list,
+    n_planes: int,
+) -> DataFrame:
+    """(id_alias, bucket) membership rows with Hamming-1 probing — the ONE
+    construction behind both ``lsh_topk`` (query side) and
+    ``embedding_dedup_pairs`` (every vector). Each row's base bucket per
+    table is computed ONCE (n_tables hyperplane aggregates materialized
+    through the Generate, which projection collapse cannot cross); the
+    1 + n_planes probe buckets derive from the materialized base by XOR —
+    the flat per-probe formulation would re-evaluate the full hyperplane
+    dot products n_tables·(1+n_planes) times per row. Bucket ids are
+    offset by table index (t << 32) so one join column serves all tables."""
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), b.alias("b"))
+                for t, b in enumerate(table_buckets)
+            ]
+        )
+    ).alias("tb")
+    probe_arr = F.concat(
+        F.array(F.col("tb.b")),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.col("tb.b").bitwiseXOR(F.call_function("shiftleft", F.lit(1), p)),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias(id_alias), tb)
+        .select(id_alias, F.col("tb.t").alias("t"), F.explode(probe_arr).alias("pb"))
+        .select(
+            id_alias,
+            (F.col("pb").cast("long") + F.col("t").cast("long") * F.lit(1 << 32)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -216,6 +307,8 @@ def lsh_topk(
     is bucketed/partitioned once per table (write-time clustering); each query
     touches ~ n_tables·(1+n_planes)/2^n_planes of the data instead of all of
     it, with recall tunable by (n_planes, n_tables)."""
+    _check_dim(corpus, vec_col, dim, "lsh_topk(corpus)")
+    _check_dim(queries, vec_col, dim, "lsh_topk(queries)")
     table_buckets = [
         hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
         for t in range(n_tables)
@@ -231,33 +324,7 @@ def lsh_topk(
             F.array(*[b + F.lit(t << 32) for t, b in enumerate(table_buckets)])
         ).alias("bucket"),
     )
-    # each query's base bucket per table is computed ONCE (n_tables dot
-    # products); the 1+n_planes probe buckets derive from it by XOR — the
-    # flat per-probe formulation would re-evaluate the full hyperplane dot
-    # products n_tables*(1+n_planes) times per row
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), b.alias("b"))
-                for t, b in enumerate(table_buckets)
-            ]
-        )
-    ).alias("tb")
-    probe_arr = F.concat(
-        F.array(F.col("tb.b")),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.col("tb.b").bitwiseXOR(F.call_function("shiftleft", F.lit(1), p)),
-        ),
-    )
-    q = (
-        queries.select(F.col(query_id_col).alias("query_id"), tb)
-        .select("query_id", F.col("tb.t").alias("t"), F.explode(probe_arr).alias("pb"))
-        .select(
-            "query_id",
-            (F.col("pb").cast("long") + F.col("t").cast("long") * F.lit(1 << 32)).alias("bucket"),
-        )
-    )
+    q = _probe_membership(queries, query_id_col, "query_id", table_buckets, n_planes)
     cands = (
         c.join(F.broadcast(q), "bucket")
         .select("query_id", "vec_id")
@@ -314,6 +381,7 @@ def kmeans_centroids(
     then scans train_fraction of the data; only the final cell ASSIGNMENT
     (done by the caller) touches the full corpus. Hash-derived (not
     df.sample) so the training set is stable across partitionings/replays."""
+    _check_dim(corpus, vec_col, dim, "kmeans_centroids")
     c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     if train_fraction is not None:
         if not (0.0 < train_fraction <= 1.0):
@@ -387,6 +455,7 @@ def _probed_queries(
 ) -> DataFrame:
     """(query_id, qv, cell): one row per (query, probed cell) — the
     top-nprobe cells by centroid cosine (argsort desc, index asc ties)."""
+    _check_dim(queries, vec_col, len(cents[0]), "ivf probe (queries vs quantizer)")
     sims = F.transform(_centroid_lit(cents), lambda ct: cosine(F.col("qv"), ct))
     ranked = F.array_sort(
         F.transform(
@@ -512,39 +581,12 @@ def embedding_dedup_pairs(
     add planes if the corpus is dense)."""
     from .dedup import _pairs_from_buckets
 
+    _check_dim(df, vec_col, dim, "embedding_dedup_pairs")
     table_buckets = [
         hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
         for t in range(n_tables)
     ]
-    # explode (t, base_bucket) FIRST: each table's hyperplane aggregate is
-    # evaluated exactly once per row; probes derive from the materialized
-    # bucket attribute by XOR (projection collapse cannot cross the Generate,
-    # so the aggregate is not re-inlined per probe — same trick as lsh_topk)
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), b.alias("b"))
-                for t, b in enumerate(table_buckets)
-            ]
-        )
-    ).alias("tb")
-    probe_arr = F.concat(
-        F.array(F.col("tb.b")),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.col("tb.b").bitwiseXOR(F.call_function("shiftleft", F.lit(1), p)),
-        ),
-    )
-    mem = (
-        df.select(F.col(id_col).alias("id"), tb)
-        .select("id", F.col("tb.t").alias("t"), F.explode(probe_arr).alias("pb"))
-        .select(
-            "id",
-            (F.col("pb").cast("long") + F.col("t").cast("long") * F.lit(1 << 32)).alias(
-                "bucket"
-            ),
-        )
-    )
+    mem = _probe_membership(df, id_col, "id", table_buckets, n_planes)
     cands = _pairs_from_buckets(mem, "bucket", max_bucket)
     vecs = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     a = vecs.select(F.col("id").alias("__ia"), F.col("v").alias("va"))

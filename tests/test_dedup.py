@@ -207,3 +207,45 @@ def test_simhash_pairs_full_fingerprint_block(spark):
     got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(
         docs, max_hamming=0, n_blocks=1).collect()}
     assert got == {(1, 2)}
+
+
+def test_lsh_bands_must_divide_num_hashes(spark, docs):
+    """bands > num_hashes would make rows-per-band 0: every band key becomes
+    the hash of an empty slice, the hub-bucket cap drops everything, and
+    zero duplicates are silently reported — validated loudly instead."""
+    with pytest.raises(ValueError, match="bands=100"):
+        dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=100)
+    with pytest.raises(ValueError, match="bands=48"):
+        dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=48)
+
+
+def test_adhoc_shingles_match_shingle_df_on_padded_text(spark):
+    """shingles() (ad-hoc column form) must agree with shingle_df on texts
+    with leading/trailing whitespace: phantom empty split tokens previously
+    corrupted gram text and defeated the short-doc gate."""
+    df = spark.createDataFrame(
+        [(1, "  alpha beta gamma delta "), (2, " single "), (3, "a b")],
+        "doc_id long, text string",
+    )
+    adhoc = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", dedup.shingles(F.col("text"), n=2).alias("sh")).collect()
+    }
+    viadf = {
+        r.id: sorted(r.sh)
+        for r in dedup.shingle_df(df, shingle_n=2, hashed=False).collect()
+    }
+    assert adhoc[1] == viadf[1] and adhoc[3] == viadf[3]
+    # 1-word doc: no 2-grams from either form
+    assert adhoc[2] == [] and 2 not in viadf
+
+
+def test_exact_dedup_ignores_edge_whitespace(spark):
+    """Texts differing only by leading/trailing whitespace (e.g. a trailing
+    newline) dedup together, like interior-whitespace variants always did."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "  hello   world")],
+        "doc_id long, text string",
+    )
+    got = dedup.exact_dedup(df).collect()
+    assert len(got) == 1 and got[0].doc_id == 1 and got[0].n_copies == 3

@@ -79,3 +79,27 @@ def test_dictionary_words_with_regex_metacharacters_match_literally(spark):
     )
     assert got_py == got_spark == got_duck == want
     assert "aXb" not in got_py  # '.' is literal, not any-char
+
+
+def test_empty_matching_detector_patterns_rejected():
+    """A pattern matching the empty string 'matches' at every position and
+    breaks the position-capped offset derivation (split vs
+    regexp_extract_all disagree on empty matches) — rejected at
+    construction, as is an empty/empty-word dictionary (which renders the
+    empty-matching '\\b(?:)\\b')."""
+    import pytest as _pytest
+
+    from dlp_dataflow_deidentification_spark.functions.infotypes import (
+        custom_regex,
+        dictionary,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        custom_regex("X", r"[0-9]*")
+    with _pytest.raises(ValueError, match="non-empty word"):
+        dictionary("D", [])
+    with _pytest.raises(ValueError, match="non-empty word"):
+        dictionary("D", ["ok", ""])
+    # anchored-to-content patterns still construct
+    assert custom_regex("X", r"[0-9]+").pattern == r"[0-9]+"
+    assert dictionary("D", ["alpha"]).name == "D"

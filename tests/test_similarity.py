@@ -276,3 +276,44 @@ def test_ivf_indexed_partition_pruning(spark, sf_dir, tmp_path):
         ).select("cell").distinct().collect()
     }
     assert len(probed) < 8
+
+
+def test_dim_mismatch_raises_instead_of_degenerating(spark, emb, queries_df):
+    """zip_with pads the shorter array with nulls, so a wrong dim would
+    null-poison every dot product and silently produce empty/degenerate
+    results (all vectors in bucket 0, empty cell joins) — the entry points
+    peek one row and raise instead."""
+    with pytest.raises(ValueError, match="dim=32"):
+        similarity.lsh_topk(emb, queries_df, dim=32)
+    with pytest.raises(ValueError, match="dim=32"):
+        similarity.embedding_dedup_pairs(emb, dim=32)
+    with pytest.raises(ValueError, match="dim=128"):
+        similarity.kmeans_centroids(emb, k=4, dim=128)
+    with pytest.raises(ValueError, match="dim=16"):
+        similarity.ivf_topk(emb, queries_df, n_cells=4, dim=16)
+    # width mismatch between corpus and queries (brute-force paths)
+    wide_q = queries_df.select(
+        "query_id", F.concat(F.col("embedding"), F.col("embedding")).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="wide"):
+        similarity.cosine_topk(emb, wide_q)
+    with pytest.raises(ValueError, match="wide"):
+        similarity.cosine_topk_arrow(emb, wide_q)
+
+
+def test_cosine_topk_arrow_tolerates_null_and_ragged_corpus_rows(spark):
+    """A null (or wrong-width) corpus embedding must not crash the Arrow
+    path (np.stack raises on None/ragged) — it is dropped from scoring,
+    matching the native path where its null sim sorts last."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [0.9, 0.1]),
+            (4, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, embedding array<double>")
+    got = similarity.cosine_topk_arrow(corpus, qs, k=3).collect()
+    assert [r.vec_id for r in got] == [1, 3]

@@ -345,3 +345,41 @@ def test_streaming_exact_dedup_drops_redelivered_rows(spark, tmp_path):
     # batch degradation equality
     both = df1.unionByName(df2)
     assert W.streaming_exact_dedup(both).count() == 100
+
+
+def test_inspect_empty_detectors_streaming_safe(spark, tmp_path):
+    """inspect() with zero surviving detectors (or zero text columns) must
+    return a STREAMING-compatible empty frame — the earlier limit(0) form
+    raised 'Limit is not supported on streaming Datasets', killing any
+    streaming inspect job whose min_likelihood pruned every detector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dlp_dataflow_deidentification_spark.operators import inspect as I
+
+    d = str(tmp_path / "insp_empty_in")
+    spark.createDataFrame(
+        [("c1", "mail me at a@b.com")], "conv_id string, text string"
+    ).write.mode("append").parquet(d)
+    stream = spark.readStream.schema("conv_id string, text string").parquet(d)
+
+    out = I.inspect(
+        stream,
+        ["EMAIL_ADDRESS"],
+        ["text"],
+        id_columns=["conv_id"],
+        min_likelihood="VERY_LIKELY",  # prunes EMAIL_ADDRESS (LIKELY)
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("insp_empty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("insp_empty").count() == 0
+    # empty text_columns takes the same streaming-safe early return
+    assert I.inspect(stream, ["EMAIL_ADDRESS"], [], id_columns=["conv_id"]).isStreaming
