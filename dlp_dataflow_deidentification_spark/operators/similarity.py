@@ -226,13 +226,22 @@ def _matrix_lit(rows: "list[list[float]]"):
     return F.expr(f"array({body})")
 
 
-def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11):
+def hyperplane_bucket(
+    vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11, cast: bool = True
+):
     """Random-hyperplane LSH bucket id: sign pattern of <v, h_i> for n_planes
     deterministic hyperplanes (one array<array<double>> literal). Pure JVM
     expression; per row: n_planes · dim multiply-adds executed by a looped
     higher-order aggregate — NOT unrolled into n_planes·dim codegen nodes
-    (the unrolled form produced multi-second janino compiles per table)."""
-    v = _as_double(vec_col)
+    (the unrolled form produced multi-second janino compiles per table).
+
+    ``cast=False``: the caller passes an ALREADY-double array column. The
+    default in-expression cast is CAPTURED by the per-plane lambda and
+    re-evaluated once per plane (no CSE across higher-order functions —
+    measured ~1.3x on the bucketing stage at 16 planes x 4 tables); the DF
+    entry points pre-materialize the cast behind a Generate barrier
+    (``_pre_double``) and pass cast=False."""
+    v = _as_double(vec_col) if cast else vec_col
     planes = _matrix_lit([_plane_components(seed, p, dim) for p in range(n_planes)])
     return F.aggregate(
         planes,
@@ -247,6 +256,18 @@ def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64, seed: int = 11
     )
 
 
+def _pre_double(df: DataFrame, vec_col: str, *keep) -> DataFrame:
+    """Materialize the double-cast vector as a real column BEHIND a Generate
+    (explode of a 1-element array): projection collapse cannot cross a
+    Generate, so downstream higher-order lambdas reference a cheap attribute
+    instead of re-evaluating the cast per plane/probe. Null vectors survive
+    (array(v) is a 1-element array CONTAINING null — explode keeps the
+    row)."""
+    return df.select(
+        *keep, F.explode(F.array(_as_double(F.col(vec_col)))).alias("__v")
+    )
+
+
 def _probe_membership(
     df: DataFrame,
     id_col: str,
@@ -256,9 +277,12 @@ def _probe_membership(
 ) -> DataFrame:
     """(id_alias, bucket) membership rows with Hamming-1 probing — the ONE
     construction behind both ``lsh_topk`` (query side) and
-    ``embedding_dedup_pairs`` (every vector). Each row's base bucket per
-    table is computed ONCE (n_tables hyperplane aggregates materialized
-    through the Generate, which projection collapse cannot cross); the
+    ``embedding_dedup_pairs`` (every vector). ``df`` is ``_pre_double``-
+    prepared (id column already aliased, ``__v`` double vector) and
+    ``table_buckets`` reference ``__v`` with cast=False. Each row's base
+    bucket per table is computed ONCE (n_tables hyperplane aggregates
+    materialized through the Generate, which projection collapse cannot
+    cross); the
     1 + n_planes probe buckets derive from the materialized base by XOR —
     the flat per-probe formulation would re-evaluate the full hyperplane
     dot products n_tables·(1+n_planes) times per row. Bucket ids are
@@ -309,8 +333,10 @@ def lsh_topk(
     it, with recall tunable by (n_planes, n_tables)."""
     _check_dim(corpus, vec_col, dim, "lsh_topk(corpus)")
     _check_dim(queries, vec_col, dim, "lsh_topk(queries)")
+    # double-cast materialized once per row behind a Generate (_pre_double);
+    # the per-plane lambdas then reference a cheap attribute (cast=False)
     table_buckets = [
-        hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
+        hyperplane_bucket(F.col("__v"), n_planes, dim, seed=11 + 101 * t, cast=False)
         for t in range(n_tables)
     ]
     # bucket ids offset per table so one join column serves all tables.
@@ -318,13 +344,19 @@ def lsh_topk(
     # several tables/probes must not drag its double-array through the
     # shuffle once per hit — candidates dedup on (query_id, vec_id) first,
     # vectors are re-attached exactly once per surviving candidate.
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
+    c = _pre_double(corpus, vec_col, F.col(id_col).alias("vec_id")).select(
+        "vec_id",
         F.explode(
             F.array(*[b + F.lit(t << 32) for t, b in enumerate(table_buckets)])
         ).alias("bucket"),
     )
-    q = _probe_membership(queries, query_id_col, "query_id", table_buckets, n_planes)
+    q = _probe_membership(
+        _pre_double(queries, vec_col, F.col(query_id_col).alias("query_id")),
+        "query_id",
+        "query_id",
+        table_buckets,
+        n_planes,
+    )
     cands = (
         c.join(F.broadcast(q), "bucket")
         .select("query_id", "vec_id")
@@ -583,10 +615,16 @@ def embedding_dedup_pairs(
 
     _check_dim(df, vec_col, dim, "embedding_dedup_pairs")
     table_buckets = [
-        hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=11 + 101 * t)
+        hyperplane_bucket(F.col("__v"), n_planes, dim, seed=11 + 101 * t, cast=False)
         for t in range(n_tables)
     ]
-    mem = _probe_membership(df, id_col, "id", table_buckets, n_planes)
+    mem = _probe_membership(
+        _pre_double(df, vec_col, F.col(id_col).alias("id")),
+        "id",
+        "id",
+        table_buckets,
+        n_planes,
+    )
     cands = _pairs_from_buckets(mem, "bucket", max_bucket)
     vecs = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     a = vecs.select(F.col("id").alias("__ia"), F.col("v").alias("va"))
