@@ -68,6 +68,10 @@ class DeidTemplate:
     transformations: list[FieldTransformation] = field(default_factory=list)
     # detectors referenced by infoTypeTransformations, for inspect parity
     detectors: list[infotypes.InfoType] = field(default_factory=list)
+    # field name -> surrogateInfoType name for cryptoDeterministicConfig
+    # fields that mint an enveloped token ("NAME(len):token") — the REID
+    # side needs it to strip the envelope before decrypting
+    surrogates: dict = field(default_factory=dict)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -145,6 +149,11 @@ class DeidTemplate:
                 continue
 
             prim = ft["primitiveTransformation"]
+            if "cryptoDeterministicConfig" in prim:
+                sur = prim["cryptoDeterministicConfig"].get("surrogateInfoType", {}).get("name")
+                if sur:
+                    for f_ in fields_:
+                        out.surrogates[f_] = sur
             out.transformations.append(
                 FieldTransformation(
                     fields_,

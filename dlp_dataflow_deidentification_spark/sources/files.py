@@ -16,6 +16,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 SOURCE_KEY_COL = "source_key"
 
@@ -71,9 +72,10 @@ def read_files(
         sep = delimiter or ("\t" if fmt == "tsv" else ",")
         opts = {"sep": sep, "inferSchema": "false"}  # strings-only parity
         if headers:
-            df = reader.options(**opts).schema(
-                " ".join(f"{h} string," for h in headers).rstrip(",")
-            ).csv(path)
+            # StructType, not a spliced DDL string: headers with spaces,
+            # dashes, or reserved words are data, not SQL identifiers
+            hschema = StructType([StructField(h, StringType()) for h in headers])
+            df = reader.options(**opts).schema(hschema).csv(path)
         else:
             if streaming and schema is None:
                 raise ValueError(
@@ -87,6 +89,12 @@ def read_files(
     elif fmt == "txt":
         df = reader.text(path).withColumnRenamed("value", headers[0] if headers else "line")
     elif fmt in ("json", "jsonl"):
+        if streaming and schema is None:
+            raise ValueError(
+                "streaming JSONL needs an explicit schema: pass schema=...; "
+                "for per-file dynamic schemas use "
+                "sources.dynamic.DynamicSchemaFileStream"
+            )
         df = (reader.schema(schema) if schema is not None else reader).json(path)
     else:  # avro / parquet / orc — typed, vectorized, split natively
         if schema is not None:
@@ -94,7 +102,15 @@ def read_files(
         df = getattr(reader, "format")(fmt).load(path) if fmt == "avro" else getattr(
             reader, fmt
         )(path)
-    return df.withColumn(SOURCE_KEY_COL, _sanitize_col(F.input_file_name()))
+    # input_file_name() returns a URL-ENCODED URI ('my report.csv' arrives
+    # as '.../my%20report.csv'); decode before sanitizing so this leg and
+    # the sanitize_key()-based legs (dynamic.py, notifications.py) derive
+    # the SAME table key for every filename. try_url_decode: a literal '%'
+    # that is not a valid escape falls back to the raw name instead of
+    # failing the scan.
+    fname = F.input_file_name()
+    decoded = F.coalesce(F.call_function("try_url_decode", fname), fname)
+    return df.withColumn(SOURCE_KEY_COL, _sanitize_col(decoded))
 
 
 def stringify_all(df: DataFrame, except_cols: tuple = (SOURCE_KEY_COL,)) -> DataFrame:

@@ -40,9 +40,15 @@ def fetch_lines(notifications: DataFrame, encoding: str = "utf-8") -> DataFrame:
 
     mapInPandas fetch: one Python call per Arrow batch of notifications,
     file I/O inside (the per-file work the reference does in
-    FileIO.readMatches). Missing files become rows in the error side-channel
-    (``error`` column non-null) instead of failing the batch — the
-    reference's dead-letter behavior."""
+    FileIO.readMatches). Missing/unreadable files (absent path, bad
+    encoding, null path) become rows in the error side-channel (``error``
+    column non-null) instead of failing the batch — the reference's
+    dead-letter behavior. Line splitting matches Spark's text source
+    (\\n / \\r\\n only — NOT str.splitlines(), which also splits on
+    \\u2028/\\x0b/... and would diverge from the files.py leg on the same
+    bytes). Each file is read whole into the Python worker — the notified
+    objects are expected to be event-sized; route multi-GB files through
+    the native ``files.read_files`` leg instead."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,14 +56,23 @@ def fetch_lines(notifications: DataFrame, encoding: str = "utf-8") -> DataFrame:
             for path in pdf["path"]:
                 key = sanitize_key(os.path.basename(str(path)))
                 try:
+                    if path is None:
+                        raise ValueError("null path in notification")
                     with open(path, encoding=encoding) as f:
-                        for i, line in enumerate(f.read().splitlines()):
+                        content = f.read().replace("\r\n", "\n")
+                        if content.endswith("\n"):
+                            content = content[:-1]
+                        lines = content.split("\n") if content else []
+                        for i, line in enumerate(lines):
                             out["path"].append(path)
                             out["source_key"].append(key)
                             out["line_no"].append(i)
                             out["line"].append(line)
                             out["error"].append(None)
-                except OSError as e:
+                except (OSError, ValueError, TypeError) as e:
+                    # ValueError covers UnicodeDecodeError (bad encoding);
+                    # TypeError covers non-string path values — all are the
+                    # same dead-letter contract as a missing file
                     out["path"].append(path)
                     out["source_key"].append(key)
                     out["line_no"].append(-1)

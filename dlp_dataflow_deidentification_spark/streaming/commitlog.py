@@ -63,6 +63,11 @@ class LocalFSCommitLog:
         tmp = os.path.join(self.ledger_dir, f".{batch_id}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
+            # fsync BEFORE the rename: a power cut after an unflushed rename
+            # could leave a zero-length ledger file that still reads as
+            # committed (batch correctly skipped) but breaks entry()/lineage()
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, self._path(batch_id))  # atomic commit point
 
     def committed_ids(self) -> list[int]:

@@ -141,6 +141,10 @@ class StreamingDeidJob:
     # cryptoDeterministicConfig default, so an omitted-mode deid→reid pair
     # round-trips in streaming too) or "ecb" for the explicit opt-in path
     crypto_mode: str = "siv"
+    # surrogate envelope override for reid mode; None = use the envelope the
+    # TEMPLATE minted for each column (template.surrogates) — tokens written
+    # as "NAME(len):token" cannot decrypt without stripping the envelope
+    surrogate_info_type: "str | None" = None
     partition_output_by: str | None = None  # dynamic destinations (per-key)
     # dead-letter leg (the reference's API-error side output,
     # common/DLPTransform.java:330-343): rows whose transform fails — a
@@ -163,12 +167,13 @@ class StreamingDeidJob:
         route_errors = bool(self.error_output_dir)
         if self.mode == "deid":
             if route_errors:  # null payload cells → dead-letter, like a
-                # malformed CSV record in the reference's reader
-                dead = None
+                # malformed CSV record in the reference's reader (isNull is
+                # never null, and the lit(False) seed keeps an empty
+                # text_columns tuple well-defined: nothing is ever dead)
+                dead = F.lit(False)
                 for c in self.text_columns:
-                    this = F.col(c).isNull()
-                    dead = this if dead is None else (dead | this)
-                df = df.withColumn("__dead", F.coalesce(dead, F.lit(False)))
+                    dead = dead | F.col(c).isNull()
+                df = df.withColumn("__dead", dead)
             out = deidentify(df, self.template)
         elif self.mode == "inspect":
             from ..operators.inspect import inspect
@@ -194,21 +199,29 @@ class StreamingDeidJob:
 
                 siv_key = derive_siv_key(self.crypto_key)
             out = df
-            dead = F.lit(False)
             for c in self.reid_columns:
+                # strip the envelope the template minted for this column
+                # ("NAME(len):token") or an explicit job-level override —
+                # an enveloped token fed raw to the cipher can never decode
+                sur = self.surrogate_info_type or self.template.surrogates.get(c)
                 if self.crypto_mode == "siv":
                     dec = crypto.siv_reidentify(
-                        out[c], siv_key, strict=not route_errors
+                        out[c], siv_key, sur, strict=not route_errors
                     )
                 else:
                     dec = transforms.crypto_reidentify(
-                        out[c], self.crypto_key, strict=not route_errors
+                        out[c], self.crypto_key, sur, strict=not route_errors
                     )
-                if route_errors:
-                    # decode failure = non-null token that decrypts to NULL
-                    dead = dead | (F.col(c).isNotNull() & dec.isNull())
                 out = out.withColumn(f"__dec_{c}", dec)
             if route_errors:
+                # dead derived from the MATERIALIZED __dec_<c> columns: the
+                # decrypt (a pandas UDF on the SIV path) is evaluated once
+                # per column, not re-run inside the predicate
+                dead = F.lit(False)
+                for c in self.reid_columns:
+                    dead = dead | (
+                        F.col(c).isNotNull() & F.col(f"__dec_{c}").isNull()
+                    )
                 out = out.withColumn("__dead", dead)
             for c in self.reid_columns:
                 # dead rows keep their original (undecodable) token so the

@@ -241,3 +241,63 @@ def test_notified_files_stream_reads_announced_files(spark, tmp_path):
     assert ok == {("a", 0, "l1"), ("a", 1, "l2"), ("b_2", 0, "x")}
     dead = [r for r in rows if r.error is not None]
     assert len(dead) == 1 and dead[0].path.endswith("gone.txt")
+
+
+def test_source_key_agrees_across_legs_for_encoded_names(spark, tmp_path):
+    """input_file_name() returns a URL-encoded URI, so a filename with a
+    space previously produced source_key 'my_20report' from read_files but
+    'my_report' from sanitize_key — the same file routed to two different
+    destination tables depending on the ingestion leg."""
+    from dlp_dataflow_deidentification_spark.sources.files import read_files, sanitize_key
+
+    d = tmp_path / "enc"
+    d.mkdir()
+    (d / "my report.csv").write_text("a,b\n1,x\n")
+    df = read_files(spark, str(d), "csv")
+    keys = {r.source_key for r in df.select("source_key").distinct().collect()}
+    assert keys == {sanitize_key("my report.csv")} == {"my_report"}
+
+
+def test_read_files_headers_accept_non_identifier_names(spark, tmp_path):
+    """Explicit headers are column NAMES, not SQL identifiers: spaces,
+    dashes, and reserved words must work (previously spliced into a DDL
+    string that the parser rejected)."""
+    from dlp_dataflow_deidentification_spark.sources.files import read_files
+
+    d = tmp_path / "hdr"
+    d.mkdir()
+    (d / "t.csv").write_text("1,x\n2,y\n")
+    df = read_files(spark, str(d), "csv", headers=["first name", "select"])
+    assert df.columns[:2] == ["first name", "select"]
+    assert sorted((r["first name"], r["select"]) for r in df.collect()) == [
+        ("1", "x"),
+        ("2", "y"),
+    ]
+
+
+def test_notified_files_bad_encoding_dead_letters(spark, tmp_path):
+    """A notified file with invalid UTF-8 bytes dead-letters (error row)
+    instead of failing the micro-batch: UnicodeDecodeError is a ValueError,
+    which the fetch previously did not catch (OSError only)."""
+    import json as _json
+
+    from dlp_dataflow_deidentification_spark.sources.notifications import fetch_lines
+
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"good start\n\xff\xfe broken")
+    good = tmp_path / "good.txt"
+    good.write_text("hello\nworld\n")
+    notif = spark.createDataFrame(
+        [(str(bad), "2026-01-01T00:00:00"), (str(good), "2026-01-01T00:00:01")],
+        "path string, event_time string",
+    )
+    rows = fetch_lines(notif).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.source_key, []).append(r)
+    assert [r.line for r in sorted(by_key["good"], key=lambda r: r.line_no)] == [
+        "hello",
+        "world",
+    ]
+    (err,) = by_key["bad"]
+    assert err.error is not None and err.line is None and err.line_no == -1

@@ -250,3 +250,67 @@ def test_streaming_reid_dead_letter_side_output(spark, tmp_path, input_dir, temp
     assert all(r.error_message == "reid: undecodable token" for r in err_rows)
     # both legs committed under the same exactly-once ledger batch ids
     assert set(job.error_sink().committed_ids()) <= set(job.sink().committed_ids())
+
+
+def test_streaming_reid_strips_template_surrogate_envelope(spark, tmp_path, input_dir):
+    """Tokens minted by a template whose cryptoDeterministicConfig carries a
+    surrogateInfoType are written as 'NAME(len):token'; the streaming reid
+    job must strip that envelope (template.surrogates drives it — no manual
+    knob needed) or NO token can ever decode."""
+    import pytest as _pytest
+
+    from dlp_dataflow_deidentification_spark.functions import crypto
+    from dlp_dataflow_deidentification_spark.operators.deidentify import deidentify
+
+    if not crypto.HAVE_AESSIV:
+        _pytest.skip("cryptography wheel absent: AES-SIV path unavailable")
+
+    key = "0123456789abcdef"
+    tmpl = dds.DeidTemplate.from_dict(
+        {
+            "deidentifyConfig": {
+                "recordTransformations": {
+                    "fieldTransformations": [
+                        {
+                            "fields": [{"name": "text"}],
+                            "primitiveTransformation": {
+                                "cryptoDeterministicConfig": {
+                                    "surrogateInfoType": {"name": "TOKEN"}
+                                }
+                            },
+                        }
+                    ]
+                }
+            }
+        },
+        crypto_key=key,
+    )
+    assert tmpl.surrogates == {"text": "TOKEN"}
+
+    tdf = spark.read.parquet(input_dir)
+    tok_dir = str(tmp_path / "tok_sur")
+    deidentify(tdf, tmpl).write.parquet(tok_dir)
+    # evidence the envelope is really there
+    sample = spark.read.parquet(tok_dir).select("text").first().text
+    assert sample.startswith("TOKEN(")
+
+    job = jobs.StreamingDeidJob(
+        spark,
+        tmpl,
+        tok_dir,
+        str(tmp_path / "out_sur"),
+        str(tmp_path / "ckpt_sur"),
+        mode="reid",
+        reid_columns=("text",),
+        crypto_key=key,
+    )
+    assert job.run_to_completion()
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in job.sink().read_committed(spark).select("conv_id", "turn_idx", "text").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in tdf.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == want and len(got) == 2000
