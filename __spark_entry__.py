@@ -251,6 +251,21 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-CLUSTER dedup: connected components over the
+    minhash_dedup pair graph (alternating large-star/small-star — no
+    transitive closure ever materialized). The oracle closes the SAME exact
+    all-pairs-Jaccard pair set transitively (recursive CTE — safe there
+    because oracle clusters are tiny), so a hash-match certifies both LSH
+    recall AND the component labeling."""
+    from dlp_dataflow_deidentification_spark.operators import dedup
+
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), num_hashes=96, bands=48, shingle_n=5, threshold=0.5
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable simhash (60-bit md5-derived token hashes) so DuckDB computes
     the identical fingerprints — full value oracle for the pair set."""
@@ -721,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -848,6 +864,25 @@ def oracle_sql() -> dict[str, str]:
         # cap, no LSH): equality certifies both the exact-verify stage and
         # 100% LSH recall at the threshold on this corpus.
         "minhash_dedup": _ngram_jaccard_oracle("SELECT * FROM docs", max_df=None),
+        # transitive closure of the same exact pair set (recursive CTE is
+        # safe on the oracle side: dup components are tiny); the engine runs
+        # large-star/small-star instead, which never materializes a closure
+        "dedup_clusters": (
+            "WITH RECURSIVE"
+            f" pairs AS (SELECT id_a, id_b FROM ({_ngram_jaccard_oracle('SELECT * FROM docs', max_df=None)}) t),"
+            " edges AS (SELECT id_a AS u, id_b AS v FROM pairs"
+            "           UNION SELECT id_b, id_a FROM pairs),"
+            " reach(node, root) AS ("
+            "   SELECT u, u FROM (SELECT DISTINCT u FROM edges) n"
+            "   UNION"
+            "   SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),"
+            " comp AS (SELECT node AS doc_id, min(root) AS cluster_rep"
+            "          FROM reach GROUP BY node),"
+            " sizes AS (SELECT cluster_rep, count(*) AS cluster_size"
+            "           FROM comp GROUP BY cluster_rep)"
+            " SELECT c.doc_id, c.cluster_rep, s.cluster_size"
+            " FROM comp c JOIN sizes s USING (cluster_rep)"
+        ),
         "simhash_dedup": _simhash_oracle(
             "SELECT * FROM docs WHERE doc_id % 5 = 0 OR doc_id >= 100000", max_hamming=3
         ),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..plans.config import DeidTemplate
-from .dedup import exact_dedup, minhash_dedup_pairs
+from .dedup import dedup_clusters, exact_dedup, minhash_dedup_pairs
 from .deidentify import deidentify
 
 
@@ -26,6 +26,7 @@ def curate(
     min_tokens: int = 8,
     languages: tuple = ("en",),
     near_dup_threshold: float | None = None,
+    near_dup_mode: str = "pairwise",
 ) -> DataFrame:
     """Filter + dedup (+ deid) a document corpus.
 
@@ -60,9 +61,24 @@ def curate(
         pairs = minhash_dedup_pairs(
             kept, text_col, id_col, threshold=near_dup_threshold
         )
-        # drop the larger id of each near-dup pair (transitive chains resolve
-        # over iterations at scale; one pass suffices for pairwise dup sets)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if near_dup_mode == "cluster":
+            # principled keep-one-per-COMPONENT: transitive chains collapse
+            # to the smallest id of the whole cluster (a node that is the
+            # smaller side of every one of its pairs still loses if its
+            # component contains a smaller doc elsewhere)
+            losers = (
+                dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_rep"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+        elif near_dup_mode == "pairwise":
+            # drop the larger id of each near-dup pair (cheaper: no
+            # component iteration; exact only when dup sets are pairwise)
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        else:
+            raise ValueError(
+                f"near_dup_mode must be 'pairwise' or 'cluster', got {near_dup_mode!r}"
+            )
         kept = kept.join(losers, id_col, "left_anti")
 
     if template is not None:

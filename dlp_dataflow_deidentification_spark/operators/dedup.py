@@ -581,3 +581,123 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("id").alias("id_a"), F.col("rid").alias("id_b"), "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    ``(doc_id, cluster_rep)`` for every node appearing in ``pairs``, where
+    ``cluster_rep`` is the smallest id in the node's component.
+
+    This is the keep-one-per-CLUSTER step of a production dedup pipeline:
+    pairwise loser-dropping (drop the larger id of each pair) keeps a node
+    whose every neighbor is larger even when its component contains a smaller
+    doc elsewhere — e.g. pairs (1,3),(2,3) keep {1,2} pairwise but the
+    component is {1,2,3} and only 1 should survive. Transitive chains
+    (A~B~C with A≁C) are the normal output shape of threshold dedup.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — O(log² n)
+    rounds worst-case, each round two hash-aggregate shuffles over the
+    CURRENT edge list (which only shrinks toward star graphs); no step ever
+    materializes a transitive closure, so a path graph of length 10⁶ costs
+    ~20 rounds of linear work, not a 10¹²-pair blowup. Per round the edge
+    set is localCheckpoint'ed to truncate lineage (at 100 TB use
+    ``sparkContext.setCheckpointDir`` + reliable ``checkpoint()`` instead —
+    same plan, executor-loss-safe).
+
+      large-star: every node links its LARGER neighbors to the component-min
+                  seen so far;  small-star: every node and its SMALLER
+                  neighbors link to their min. Fixpoint = every edge is
+                  (node -> component min).
+
+    Termination check is (count, xor-of-pair-hashes) equality — one cheap
+    aggregate per round, no exceptAll join.
+    """
+    spark = pairs.sparkSession
+    u, v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame):
+        # bit_xor, not sum: order-independent over the distinct edge set and
+        # cannot overflow under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.least(u, v), F.greatest(u, v))).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        dirn = e.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        mins = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        linked = dirn.join(mins, "u")
+        out = linked.select(
+            F.explode(F.array(F.col("v"), F.col("u"))).alias("u"),
+            F.col("m").alias("v"),
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        edges, prev_sig, sig = nxt, sig, nsig
+        if nsig == prev_sig:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # fixpoint edges are (node -> component min); roots map to themselves
+    members = edges.select(u.alias("doc_id"), v.alias("cluster_rep"))
+    roots = edges.select(v.alias("doc_id")).distinct().withColumn(
+        "cluster_rep", F.col("doc_id")
+    )
+    return members.union(roots)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``(doc_id, cluster_rep, cluster_size)`` for every doc in a duplicate
+    cluster (components of the pair graph; singleton docs never appear in
+    ``pairs`` and are their own implicit cluster). Survivor selection is
+    ``cluster_rep`` (smallest id — deterministic, replay-stable); dropping
+    ``doc_id != cluster_rep`` keeps exactly one doc per cluster."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    )

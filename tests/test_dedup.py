@@ -249,3 +249,81 @@ def test_exact_dedup_ignores_edge_whitespace(spark):
     )
     got = dedup.exact_dedup(df).collect()
     assert len(got) == 1 and got[0].doc_id == 1 and got[0].n_copies == 3
+
+
+def test_connected_components_labels_and_sizes(spark):
+    # components: {1,2,3} (1-3, 2-3: node 2 is smaller in NO pair — pairwise
+    # loser-dropping would wrongly keep it), path {10..13}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 201-node path needs multiple large/small-star rounds (worst-case
+    # diameter shape for label propagation); must land in one component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    reps = comp.select("cluster_rep").distinct().collect()
+    assert [r["cluster_rep"] for r in reps] == [0]
+    assert comp.count() == 201
+
+
+def test_connected_components_empty_and_duplicate_edges(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.dedup_clusters(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cluster_rep", "cluster_size"]
+    # duplicate + reversed edges collapse to the same component
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 5), (5, 6)], "id_a long, id_b long"
+    )
+    rows = sorted(
+        tuple(r) for r in dedup.dedup_clusters(pairs).collect()
+    )
+    assert rows == [(5, 5, 2), (6, 5, 2)]
+
+
+def test_dedup_clusters_on_planted_corpus(spark, docs):
+    """Planted structure: base b (b%5==0 and b%7==0) + near-dup b+100000 +
+    exact dup b+200000 must form ONE cluster with rep b."""
+    pairs = dedup.minhash_dedup_pairs(docs, num_hashes=96, bands=48, threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs)
+    both = (
+        docs.filter((F.col("doc_id") % 35 == 0) & (F.col("doc_id") < 100000))
+        .select("doc_id")
+        .collect()
+    )
+    lookup = {
+        r["doc_id"]: r["cluster_rep"] for r in clusters.collect()
+    }
+    for row in both:
+        b = row["doc_id"]
+        # all three planted variants present and share the base rep
+        assert lookup.get(b) == b
+        assert lookup.get(b + 100000) == b
+        assert lookup.get(b + 200000) == b
+    # survivor selection: exactly one doc per cluster has doc_id == rep
+    per = (
+        clusters.groupBy("cluster_rep")
+        .agg(
+            F.sum(F.when(F.col("doc_id") == F.col("cluster_rep"), 1).otherwise(0)).alias("n_reps"),
+            F.first("cluster_size").alias("sz"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r["n_reps"] == 1 and r["sz"] == r["n"]
