@@ -714,6 +714,68 @@ def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Format-preserving tokenization template (DLP cryptoReplaceFfxFpeConfig —
+# NIST SP 800-38G FF1, vector-pinned in tests/test_transforms.py): the pin
+# under a per-customer context tweak, the PAN digits under a surrogate
+# envelope.
+FPE_TEMPLATE = {
+    "deidentifyConfig": {
+        "recordTransformations": {
+            "fieldTransformations": [
+                {
+                    "fields": [{"name": "card_pin"}],
+                    "primitiveTransformation": {
+                        "cryptoReplaceFfxFpeConfig": {
+                            "commonAlphabet": "NUMERIC",
+                            "context": {"name": "id"},
+                        }
+                    },
+                },
+                {
+                    "fields": [{"name": "pan"}],
+                    "primitiveTransformation": {
+                        "cryptoReplaceFfxFpeConfig": {
+                            "commonAlphabet": "NUMERIC",
+                            "surrogateInfoType": {"name": "PAN_TOKEN"},
+                        }
+                    },
+                },
+            ]
+        }
+    }
+}
+
+
+def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving tokenization (NIST FF1 = DLP's
+    cryptoReplaceFfxFpeConfig, the north-star's 'format-preserving
+    tokenization' leg) through the template compiler, then reversed with
+    reidentify(mode='ffx'). The ``*_fmt_ok`` columns are computed
+    Spark-side from the ACTUAL intermediate tokens (regex over
+    length+alphabet+envelope) while the oracle pins them literal TRUE — so
+    the hash match certifies format preservation, not just invertibility.
+    Arrow-batched pandas UDF both ways (~10 C-backed AES calls per cell,
+    no per-byte Python)."""
+    from dlp_dataflow_deidentification_spark.functions import fpe  # noqa: F401
+
+    cards = _cards(spark, sf_dir)
+    src = cards.select(
+        "id",
+        "card_pin",
+        F.regexp_replace("card_number", "[^0-9]", "").alias("pan"),
+    )
+    template = dds.DeidTemplate.from_dict(FPE_TEMPLATE, crypto_key=KEY)
+    tok = dds.deidentify(src, template)
+    tok = tok.withColumn(
+        "pin_fmt_ok", F.col("card_pin").rlike(r"^[0-9]{4}$")
+    ).withColumn("pan_fmt_ok", F.col("pan").rlike(r"^PAN_TOKEN\(16\):[0-9]{16}$"))
+    out = dds.reidentify(tok, ["card_pin"], KEY, mode="ffx", context="id")
+    out = dds.reidentify(
+        out, ["pan"], KEY, mode="ffx", surrogate_info_type="PAN_TOKEN"
+    )
+    return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -729,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_cards": q_deid_cards,
         "crypto_roundtrip": q_crypto_roundtrip,
         "crypto_roundtrip_siv": q_crypto_roundtrip_siv,
+        "fpe_roundtrip": q_fpe_roundtrip,
         "sessionize": q_sessionize,
         "agent_tool_join": q_agent_tool_join,
         "tool_call_hourly": q_tool_call_hourly,
@@ -816,6 +879,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crypto_roundtrip_siv": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id, holder_name, card_number FROM cards"
+        ),
+        # identity after FF1 tokenize→reidentify; the fmt_ok literals are
+        # asserted Spark-side from the actual tokens (format preservation)
+        "fpe_roundtrip": (
+            f"WITH cards AS ({CARDS_SQL}) SELECT id, card_pin,"
+            f" regexp_replace(card_number, '[^0-9]', '', 'g') AS pan,"
+            f" TRUE AS pin_fmt_ok, TRUE AS pan_fmt_ok FROM cards"
         ),
         "sessionize": (
             f"{t}, e AS (SELECT conv_id, role, turn_idx, ts,"

@@ -37,6 +37,8 @@ def reidentify(
     surrogate_info_type: str | None = None,
     strict: bool = True,
     mode: str = "siv",
+    alphabet: str = "NUMERIC",
+    context: str | None = None,
 ) -> DataFrame:
     """Reverse deterministic tokenization on selected columns (reference REID:
     re-identify-config.config:8-27; output table suffix `_re_id`,
@@ -46,9 +48,11 @@ def reidentify(
     defaults to "siv", matching the template compiler's
     cryptoDeterministicConfig default (plans.config deterministic_mode), so
     an omitted-mode deid→reid pair round-trips; pass ``mode="ecb"`` only for
-    tokens minted by the explicit ECB opt-in path."""
-    if mode not in ("siv", "ecb"):
-        raise ValueError(f"mode must be 'siv' or 'ecb', got {mode!r}")
+    tokens minted by the explicit ECB opt-in path, ``mode="ffx"`` (with
+    ``alphabet``/``context`` matching the deid template's
+    cryptoReplaceFfxFpeConfig) for format-preserving FF1 tokens."""
+    if mode not in ("siv", "ecb", "ffx"):
+        raise ValueError(f"mode must be 'siv', 'ecb', or 'ffx', got {mode!r}")
     out = df
     for name in columns:
         if mode == "siv":
@@ -57,6 +61,17 @@ def reidentify(
 
             col = crypto.siv_reidentify(
                 out[name], derive_siv_key(key), surrogate_info_type, strict
+            )
+        elif mode == "ffx":
+            from ..functions import fpe
+
+            col = fpe.ff1_reidentify(
+                out[name],
+                fpe.derive_fpe_key(key),
+                alphabet,
+                context=out[context] if context else None,
+                surrogate_info_type=surrogate_info_type,
+                strict=strict,
             )
         else:
             col = transforms.crypto_reidentify(out[name], key, surrogate_info_type, strict)

@@ -27,7 +27,7 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions import crypto, infotypes, transforms
+from ..functions import crypto, fpe, infotypes, transforms
 
 
 _TEMPLATE_ENVELOPES = ("deidentifyTemplate", "inspectTemplate")
@@ -149,11 +149,12 @@ class DeidTemplate:
                 continue
 
             prim = ft["primitiveTransformation"]
-            if "cryptoDeterministicConfig" in prim:
-                sur = prim["cryptoDeterministicConfig"].get("surrogateInfoType", {}).get("name")
-                if sur:
-                    for f_ in fields_:
-                        out.surrogates[f_] = sur
+            for sur_cfg in ("cryptoDeterministicConfig", "cryptoReplaceFfxFpeConfig"):
+                if sur_cfg in prim:
+                    sur = (prim[sur_cfg].get("surrogateInfoType") or {}).get("name")
+                    if sur:
+                        for f_ in fields_:
+                            out.surrogates[f_] = sur
             out.transformations.append(
                 FieldTransformation(
                     fields_,
@@ -267,6 +268,22 @@ def _primitive(
         if deterministic_mode != "ecb":
             raise ValueError(f"deterministic_mode must be 'siv' or 'ecb', got {deterministic_mode!r}")
         return lambda c: transforms.crypto_deterministic(c, crypto_key, sur)
+    if "cryptoReplaceFfxFpeConfig" in prim:
+        cfg = prim["cryptoReplaceFfxFpeConfig"]
+        crypto_key = _require_key(crypto_key, "cryptoReplaceFfxFpeConfig")
+        alpha = _ffx_alphabet(cfg)
+        sur = (cfg.get("surrogateInfoType") or {}).get("name")
+        ctx = (cfg.get("context") or {}).get("name")
+        key = fpe.derive_fpe_key(crypto_key)
+        # format-preserving tokenization (NIST FF1): token has the SAME
+        # length/alphabet as the input; context = per-row tweak
+        return lambda c: fpe.ff1_tokenize(
+            c,
+            key,
+            alpha,
+            context=F.col(ctx) if ctx else None,
+            surrogate_info_type=sur,
+        )
     if "characterMaskConfig" in prim:
         cm = prim["characterMaskConfig"]
         skip = "".join(
@@ -317,6 +334,42 @@ def _primitive(
     if "redactConfig" in prim:
         return lambda c: F.lit(None).cast("string")
     raise ValueError(f"unsupported primitiveTransformation: {list(prim)}")
+
+
+# FFX radix → alphabet prefix (digits, then lowercase, then uppercase — 62
+# chars; DLP's radix oneof spans [2, 95], but the base-95 ordering beyond 62
+# is not publicly pinned, so radix > 62 here requires an explicit
+# customAlphabet instead of a guessed symbol ordering)
+_FFX_RADIX_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+def _ffx_alphabet(cfg: dict) -> str:
+    """cryptoReplaceFfxFpeConfig's alphabet oneof: commonAlphabet enum |
+    customAlphabet string | radix int."""
+    if "commonAlphabet" in cfg:
+        name = cfg["commonAlphabet"]
+        if name not in fpe.COMMON_ALPHABETS:
+            raise ValueError(
+                f"unknown commonAlphabet {name!r}; one of "
+                f"{sorted(fpe.COMMON_ALPHABETS)}"
+            )
+        return name
+    if "customAlphabet" in cfg:
+        return cfg["customAlphabet"]
+    if "radix" in cfg:
+        r = int(cfg["radix"])
+        if not 2 <= r <= len(_FFX_RADIX_CHARS):
+            raise ValueError(
+                f"radix must be in [2, {len(_FFX_RADIX_CHARS)}] (use "
+                f"customAlphabet beyond that), got {r}"
+            )
+        return _FFX_RADIX_CHARS[:r]
+    raise ValueError(
+        "cryptoReplaceFfxFpeConfig needs commonAlphabet, customAlphabet, "
+        "or radix"
+    )
 
 
 # DLP CharsToIgnore.CommonCharsToIgnore enum → concrete character sets

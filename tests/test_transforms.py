@@ -552,3 +552,169 @@ def test_crypto_hash_rendering_of_nonstring_columns(spark):
     ).decode()
     assert got.hd == mac("1.0E20") and got.hb == mac("true")
     assert got.sd == hashlib.sha256((KEY16 + "1.0E20").encode()).hexdigest()
+
+
+# --- FF1 format-preserving encryption (cryptoReplaceFfxFpeConfig) ---------
+
+NIST_KEY128 = bytes.fromhex("2B7E151628AED2A6ABF7158809CF4F3C")
+NIST_KEY256 = bytes.fromhex(
+    "2B7E151628AED2A6ABF7158809CF4F3CEF4359D8D580AA4F7F036D6F04FC6A94"
+)
+LOWER36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+@pytest.mark.parametrize(
+    "key,alphabet,tweak_hex,pt,ct",
+    [
+        # NIST SP 800-38G FF1 sample vectors (public) — samples 1-3 (AES-128)
+        (NIST_KEY128, "NUMERIC", "", "0123456789", "2433477484"),
+        (NIST_KEY128, "NUMERIC", "39383736353433323130", "0123456789", "6124200773"),
+        (
+            NIST_KEY128,
+            LOWER36,
+            "3737373770717273373737",
+            "0123456789abcdefghi",
+            "a9tv40mll9kdu509eum",
+        ),
+        # sample 7 (AES-256)
+        (NIST_KEY256, "NUMERIC", "", "0123456789", "6657667009"),
+    ],
+)
+def test_ff1_nist_sample_vectors(key, alphabet, tweak_hex, pt, ct):
+    from dlp_dataflow_deidentification_spark.functions.fpe import FF1
+
+    f = FF1(key, alphabet)
+    tweak = bytes.fromhex(tweak_hex)
+    assert f.encrypt(pt, tweak) == ct
+    assert f.decrypt(ct, tweak) == pt
+
+
+def test_ff1_tokenize_format_preserving_and_roundtrip(spark):
+    """Token has the same length/alphabet as the input; non-domain values
+    (wrong chars / too short) pass through verbatim; roundtrip is exact."""
+    from dlp_dataflow_deidentification_spark.functions import fpe
+
+    key = fpe.derive_fpe_key(KEY16)
+    vals = ["4111111111111111", "0000", "12-34", "7", None]
+    df = col_of(spark, vals)
+    tok = df.select(
+        F.col("v"), fpe.ff1_tokenize(F.col("v"), key).alias("t")
+    )
+    rows = {r["v"]: r["t"] for r in tok.collect()}
+    assert rows["4111111111111111"] != "4111111111111111"
+    assert len(rows["4111111111111111"]) == 16
+    assert rows["4111111111111111"].isdigit()
+    assert rows["0000"].isdigit() and len(rows["0000"]) == 4
+    assert rows["12-34"] == "12-34"  # '-' outside NUMERIC → passthrough
+    assert rows["7"] == "7"  # below minlen → passthrough
+    assert rows[None] is None
+    back = tok.select(
+        "v", fpe.ff1_reidentify(F.col("t"), key).alias("r")
+    ).collect()
+    assert all(r["r"] == r["v"] for r in back)
+
+
+def test_ff1_context_tweak_changes_token(spark):
+    """DLP context field = per-row tweak: same plaintext under different
+    contexts mints different tokens, and reid needs the same context."""
+    from dlp_dataflow_deidentification_spark.functions import fpe
+
+    key = fpe.derive_fpe_key(KEY16)
+    df = spark.createDataFrame(
+        [("123456", "custA"), ("123456", "custB")], "v string, ctx string"
+    )
+    tok = df.select(
+        "v", "ctx", fpe.ff1_tokenize(F.col("v"), key, context=F.col("ctx")).alias("t")
+    )
+    ts = [r["t"] for r in tok.collect()]
+    assert ts[0] != ts[1]
+    back = tok.select(
+        "v", fpe.ff1_reidentify(F.col("t"), key, context=F.col("ctx")).alias("r")
+    ).collect()
+    assert all(r["r"] == r["v"] for r in back)
+
+
+def test_ff1_surrogate_envelope(spark):
+    from dlp_dataflow_deidentification_spark.functions import fpe
+
+    key = fpe.derive_fpe_key(KEY16)
+    df = col_of(spark, ["987654", "not-numeric"])
+    tok = df.select(
+        "v",
+        fpe.ff1_tokenize(F.col("v"), key, surrogate_info_type="PAN_TOKEN").alias("t"),
+    )
+    rows = {r["v"]: r["t"] for r in tok.collect()}
+    assert rows["987654"].startswith("PAN_TOKEN(6):")
+    assert rows["987654"].split(":", 1)[1].isdigit()
+    assert rows["not-numeric"] == "not-numeric"  # passthrough keeps no envelope
+    back = tok.select(
+        "v",
+        fpe.ff1_reidentify(
+            F.col("t"), key, surrogate_info_type="PAN_TOKEN"
+        ).alias("r"),
+    ).collect()
+    assert all(r["r"] == r["v"] for r in back)
+
+
+def test_ff1_strict_raises_on_non_domain_value(spark):
+    from dlp_dataflow_deidentification_spark.functions import fpe
+
+    key = fpe.derive_fpe_key(KEY16)
+    df = col_of(spark, ["12-34"])
+    with pytest.raises(Exception, match="FF1 domain"):
+        df.select(fpe.ff1_tokenize(F.col("v"), key, strict=True)).collect()
+
+
+def test_ffx_template_compile_and_reidentify(spark):
+    """cryptoReplaceFfxFpeConfig through the template compiler: alphabet
+    oneof (commonAlphabet / customAlphabet / radix), context plumbing,
+    surrogate registration, reidentify(mode='ffx') inverse."""
+    import dlp_dataflow_deidentification_spark as dds
+    from dlp_dataflow_deidentification_spark.plans.config import _ffx_alphabet
+
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "pan"}],
+                        "primitiveTransformation": {
+                            "cryptoReplaceFfxFpeConfig": {
+                                "commonAlphabet": "NUMERIC",
+                                "surrogateInfoType": {"name": "PAN_TOKEN"},
+                                "context": {"name": "cust"},
+                            }
+                        },
+                    }
+                ]
+            }
+        }
+    }
+    template = dds.DeidTemplate.from_dict(doc, crypto_key=KEY16)
+    assert template.surrogates == {"pan": "PAN_TOKEN"}
+    df = spark.createDataFrame(
+        [("4111111111111111", "a"), ("4111111111111111", "b")],
+        "pan string, cust string",
+    )
+    deid = dds.deidentify(df, template)
+    toks = [r["pan"] for r in deid.collect()]
+    assert all(t.startswith("PAN_TOKEN(16):") for t in toks)
+    assert toks[0] != toks[1]  # context tweak separates identical plaintexts
+    back = dds.reidentify(
+        deid,
+        ["pan"],
+        KEY16,
+        surrogate_info_type="PAN_TOKEN",
+        mode="ffx",
+        context="cust",
+    )
+    assert [r["pan"] for r in back.collect()] == ["4111111111111111"] * 2
+    # alphabet oneof resolution
+    assert _ffx_alphabet({"radix": 16}) == "0123456789abcdef"
+    assert _ffx_alphabet({"customAlphabet": "ACGT"}) == "ACGT"
+    with pytest.raises(ValueError, match="radix"):
+        _ffx_alphabet({"radix": 96})
+    with pytest.raises(ValueError, match="commonAlphabet"):
+        _ffx_alphabet({"commonAlphabet": "KLINGON"})
+    with pytest.raises(ValueError, match="needs"):
+        _ffx_alphabet({})
