@@ -776,6 +776,89 @@ def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
 
 
+# Record-level controls template (public DLP RecordTransformations surface:
+# recordSuppressions drop whole rows, FieldTransformation.condition gates a
+# transform per-row, replaceDictionaryConfig substitutes from a word list —
+# deterministic keyed-hash pick here, documented deviation from the
+# service's random pick so the exactly-once sink replays stably).
+COND_WORDS = ["alpha", "bravo", "charlie", "delta"]
+COND_TEMPLATE = {
+    "deidentifyConfig": {
+        "recordTransformations": {
+            "recordSuppressions": [
+                {
+                    "condition": {
+                        "expressions": {
+                            "logicalOperator": "AND",
+                            "conditions": {
+                                "conditions": [
+                                    {
+                                        "field": {"name": "o_orderstatus"},
+                                        "operator": "EQUAL_TO",
+                                        "value": {"stringValue": "F"},
+                                    }
+                                ]
+                            },
+                        }
+                    }
+                }
+            ],
+            "fieldTransformations": [
+                {
+                    "fields": [{"name": "o_custkey"}],
+                    "condition": {
+                        "expressions": {
+                            "conditions": {
+                                "conditions": [
+                                    {
+                                        "field": {"name": "o_totalprice"},
+                                        "operator": "GREATER_THAN",
+                                        "value": {"floatValue": 150000.0},
+                                    }
+                                ]
+                            }
+                        }
+                    },
+                    "primitiveTransformation": {
+                        "replaceConfig": {"newValue": {"stringValue": "[HIGH-VALUE]"}}
+                    },
+                },
+                {
+                    "fields": [{"name": "o_orderpriority"}],
+                    "primitiveTransformation": {
+                        "replaceDictionaryConfig": {"wordList": {"words": COND_WORDS}}
+                    },
+                },
+            ],
+        }
+    }
+}
+
+
+def q_deid_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level template controls end-to-end: recordSuppressions drop
+    every finalized order (o_orderstatus = 'F'), a RecordCondition gates the
+    custkey replacement to high-value orders only (o_totalprice > 150000,
+    evaluated on the ORIGINAL value), and replaceDictionaryConfig rewrites
+    o_orderpriority to a word-list pick via the portable md5 PRF
+    (date_shift_basis="md5") so the DuckDB oracle recomputes exact values.
+    The whole plan stays one native filter + one narrow projection — no
+    Python, no shuffle."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    src = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey", "o_orderpriority"
+    )
+    template = dds.DeidTemplate.from_dict(
+        COND_TEMPLATE, crypto_key=KEY, date_shift_basis="md5"
+    )
+    out = dds.deidentify(src, template)
+    return out.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full transcript de-identification at sf0.001."""
     return q_deid_transcripts(spark, "/root/testdata/sf0.001")
@@ -815,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "sliding_infotype_hits": q_sliding_infotype_hits,
         "deid_dates": q_deid_dates,
+        "deid_conditional": q_deid_conditional,
     }
 
 
@@ -977,6 +1061,23 @@ def oracle_sql() -> dict[str, str]:
         # portable 60-bit md5 PRF (same construction as the simhash oracle):
         # DuckDB recomputes the exact per-customer day shift, so the shifted
         # timestamps are value-checked, not rows-only
+        # record-level controls: suppression = WHERE NOT(match); gated
+        # transform = CASE on the ORIGINAL value; dictionary pick = the same
+        # portable 60-bit md5 PRF, 1-based into the word list
+        "deid_conditional": (
+            "SELECT o_orderkey,"
+            " CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0"
+            "   THEN '[HIGH-VALUE]' ELSE CAST(o_custkey AS VARCHAR) END AS cust,"
+            " list_extract("
+            + "["
+            + ", ".join(f"'{w}'" for w in COND_WORDS)
+            + "],"
+            " CAST(1 + CAST(CAST('0x' || substr(md5('"
+            + KEY
+            + "' || o_orderpriority), 1, 15) AS UBIGINT) AS BIGINT)"
+            f" % {len(COND_WORDS)} AS INTEGER)) AS priority"
+            " FROM orders WHERE NOT (o_orderstatus = 'F')"
+        ),
         "deid_dates": (
             "SELECT o_orderkey,"
             " CAST(year(o_orderdate) AS VARCHAR) AS order_year,"

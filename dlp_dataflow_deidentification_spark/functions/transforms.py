@@ -345,3 +345,39 @@ def date_shift(
         raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
     days = F.pmod(h, F.lit(span)) + F.lit(lower)
     return F.timestamp_add("DAY", days.cast("int"), col.cast("timestamp"))
+
+
+def replace_dictionary(
+    col: Column,
+    words: "list[str]",
+    key: str = "",
+    hash_basis: str = "xxhash64",
+) -> Column:
+    """DLP ``replaceDictionaryConfig``: replace the value with an item from
+    the template's word list (the public DeidentifyConfig primitive; absent
+    from the reference's sample templates but part of the surface its users
+    configure). DLP itself picks a word uniformly at RANDOM per cell; this
+    engine picks DETERMINISTICALLY — keyed hash of the value, mod word
+    count — a documented deviation (same stance as date_shift's
+    deterministic shift) so output is stable across the exactly-once sink's
+    replays and oracle-checkable.
+
+    ``hash_basis`` as in date_shift: "xxhash64" (codegen'd, default) or
+    "md5" (60-bit, portable to DuckDB:
+    ``words[1 + CAST(CAST('0x'||substr(md5(k||v),1,15) AS UBIGINT) AS
+    BIGINT) % n]``). NULL stays NULL. Native expression — one
+    WholeStageCodegen span, no Python."""
+    if not words:
+        raise ValueError("replace_dictionary needs a non-empty word list")
+    keyed = F.concat(F.lit(key), col.cast("string"))
+    if hash_basis == "xxhash64":
+        h = F.xxhash64(keyed)
+    elif hash_basis == "md5":
+        h = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+    idx = F.pmod(h, F.lit(len(words))) + F.lit(1)
+    # word list is a small template literal: a driver-side array literal is
+    # fine (broadcast with the plan, not a py4j-per-row cost)
+    picked = F.element_at(F.array(*[F.lit(w) for w in words]), idx.cast("int"))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(picked)

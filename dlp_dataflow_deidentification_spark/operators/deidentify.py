@@ -10,7 +10,8 @@ the whole DEID stage is a single WholeStageCodegen span with no shuffle.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from ..plans.config import DeidTemplate
 from ..functions import transforms
@@ -19,14 +20,70 @@ from ..functions import transforms
 def deidentify(df: DataFrame, template: DeidTemplate) -> DataFrame:
     """Apply a compiled DeidTemplate; schema-preserving (transformed columns
     become strings, like the reference's all-STRING BigQuery output —
-    DLPTextToBigQueryStreaming.java:845-846)."""
+    DLPTextToBigQueryStreaming.java:845-846).
+
+    Record-level semantics (public DLP RecordTransformations):
+    - ``recordSuppressions``: rows matching ANY suppression condition are
+      dropped, evaluated on ORIGINAL values (suppressed rows never reach the
+      field transformations — same as the service, which discards them
+      before transforming). A condition referencing a column absent from
+      ``df`` reads NULL → no match (EXISTS is then false).
+    - per-transformation ``condition``: the transform applies only where the
+      condition holds; other rows keep their current value. Conditions read
+      PRE-TRANSFORMATION values — snapshots taken before the first rewrite —
+      so a condition on a field an earlier transformation already rewrote
+      still sees the original (DLP evaluates conditions against the input
+      record). Everything stays one narrow native projection + one filter:
+      no shuffle, no Python.
+    """
     cols = set(df.columns)
     out = df
+
+    def _absent_null(name: str) -> Column:
+        return F.lit(None) if name not in cols else out[name]
+
+    # 1. record suppressions, on original values, before any transform
+    for sup in template.suppressions:
+        pred = F.coalesce(sup.build(_absent_null), F.lit(False))
+        out = out.filter(~pred)
+
+    # 2. snapshot originals that per-transform conditions read
+    cond_fields: set[str] = set()
+    for ft in template.transformations:
+        if ft.condition is not None:
+            cond_fields |= ft.condition.fields
+    snap = {n: f"__orig_{n}__" for n in sorted(cond_fields) if n in cols}
+    for name, alias in snap.items():
+        out = out.withColumn(alias, out[name])
+
+    def _resolve(name: str) -> Column:
+        if name in snap:
+            return F.col(snap[name])
+        if name in cols:
+            return F.col(name)
+        return F.lit(None)
+
+    # 3. field transformations, in template order
     for ft in template.transformations:
         for name in ft.fields:
             if name not in cols:
                 continue
-            out = out.withColumn(name, ft.builder(out[name]))
+            new = ft.builder(out[name])
+            if ft.condition is not None:
+                pred = F.coalesce(ft.condition.build(_resolve), F.lit(False))
+                orig = out[name]
+                # a gated column holds transformed AND original values; if
+                # their types differ, settle both on string (the reference's
+                # all-STRING output) — otherwise ANSI coercion picks the
+                # ORIGINAL numeric type and casting the replacement string
+                # into it throws at runtime
+                new_type = out.select(new.alias("_t")).schema[0].dataType
+                if new_type != out.schema[name].dataType:
+                    new, orig = new.cast("string"), orig.cast("string")
+                new = F.when(pred, new).otherwise(orig)
+            out = out.withColumn(name, new)
+    if snap:
+        out = out.drop(*snap.values())
     return out
 
 

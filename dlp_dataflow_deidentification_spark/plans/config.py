@@ -9,8 +9,11 @@ local, declarative plan.
 
 Supported primitiveTransformations: cryptoHashConfig, characterMaskConfig,
 bucketingConfig, fixedSizeBucketingConfig, cryptoDeterministicConfig,
-replaceConfig, redactConfig, timePartConfig, dateShiftConfig,
-replaceWithInfoTypeConfig (via infoTypeTransformations).
+cryptoReplaceFfxFpeConfig, replaceConfig, replaceDictionaryConfig,
+redactConfig, timePartConfig, dateShiftConfig, replaceWithInfoTypeConfig
+(via infoTypeTransformations). Record-level controls: recordSuppressions
+and per-transformation ``condition`` (RecordCondition), compiled to native
+boolean Columns evaluated against pre-transformation values.
 
 cryptoDeterministicConfig routes to true AES-SIV (RFC 5297, the reference's
 actual cipher — deid-template.json:212-231) by default; the JVM-native
@@ -55,10 +58,104 @@ def load_template_doc(source: "str | dict") -> dict:
 
 
 @dataclass
+class CompiledCondition:
+    """A compiled DLP ``RecordCondition`` (the public proto shape:
+    ``{"expressions": {"logicalOperator": "AND", "conditions":
+    {"conditions": [{field, operator, value}, ...]}}}``). ``fields`` lists
+    every field the predicate reads, so the applier can snapshot ORIGINAL
+    values before any transformation rewrites them; ``build(resolver)``
+    renders the predicate as one native boolean Column, with ``resolver``
+    mapping a field name to the Column holding its pre-transformation
+    value. An un-evaluable comparison (NULL field, non-numeric string cast)
+    is NO MATCH, per DLP's condition semantics — build() coalesces to
+    FALSE."""
+
+    fields: set
+    build: Callable[[Callable[[str], Column]], Column]
+
+
+# DLP RecordCondition.Condition operators (RelationalOperator enum)
+_COND_OPS = {
+    "EQUAL_TO": lambda a, b: a == b,
+    "NOT_EQUAL_TO": lambda a, b: a != b,
+    "GREATER_THAN": lambda a, b: a > b,
+    "LESS_THAN": lambda a, b: a < b,
+    "GREATER_THAN_OR_EQUALS": lambda a, b: a >= b,
+    "LESS_THAN_OR_EQUALS": lambda a, b: a <= b,
+}
+
+
+def _condition_column(cond: dict, resolver: Callable[[str], Column]) -> Column:
+    name = cond["field"]["name"]
+    op = cond["operator"]
+    f = resolver(name)
+    if op == "EXISTS":
+        return f.isNotNull()
+    if op not in _COND_OPS:
+        raise ValueError(
+            f"unsupported condition operator {op!r}; one of "
+            f"{sorted(_COND_OPS)} or EXISTS"
+        )
+    v = cond["value"]
+    # typed comparison per the Value oneof; casts that fail (e.g. a
+    # non-numeric string vs integerValue) yield NULL -> no match
+    if "stringValue" in v:
+        expr = _COND_OPS[op](f.cast("string"), F.lit(v["stringValue"]))
+    elif "integerValue" in v or "floatValue" in v:
+        expr = _COND_OPS[op](f.cast("double"), F.lit(_num(v)))
+    elif "booleanValue" in v:
+        expr = _COND_OPS[op](f.cast("boolean"), F.lit(bool(v["booleanValue"])))
+    elif "timestampValue" in v:
+        expr = _COND_OPS[op](
+            f.cast("timestamp"), F.lit(v["timestampValue"]).cast("timestamp")
+        )
+    elif "dateValue" in v:
+        d = v["dateValue"]
+        lit = f"{int(d['year']):04d}-{int(d['month']):02d}-{int(d['day']):02d}"
+        expr = _COND_OPS[op](f.cast("date"), F.lit(lit).cast("date"))
+    else:
+        raise ValueError(f"unsupported condition value type: {list(v)}")
+    return F.coalesce(expr, F.lit(False))
+
+
+def _record_condition(rc: dict) -> CompiledCondition:
+    exprs = rc["expressions"]
+    lop = exprs.get("logicalOperator", "AND")
+    # the public proto's LogicalOperator enum is {UNSPECIFIED, AND} only
+    if lop not in ("AND", "LOGICAL_OPERATOR_UNSPECIFIED"):
+        raise ValueError(f"logicalOperator must be AND, got {lop!r}")
+    conds = exprs["conditions"]["conditions"]
+    if not conds:
+        raise ValueError("RecordCondition with zero conditions")
+    # validate eagerly at compile time (same stance as the mode knobs): a
+    # typo'd operator must fail at from_dict, not first row evaluation
+    for c in conds:
+        if c["operator"] != "EXISTS" and c["operator"] not in _COND_OPS:
+            raise ValueError(
+                f"unsupported condition operator {c['operator']!r}; one of "
+                f"{sorted(_COND_OPS)} or EXISTS"
+            )
+    fields = {c["field"]["name"] for c in conds}
+
+    def build(resolver: Callable[[str], Column]) -> Column:
+        out = None
+        for c in conds:
+            cc = _condition_column(c, resolver)
+            out = cc if out is None else (out & cc)
+        return out
+
+    return CompiledCondition(fields, build)
+
+
+@dataclass
 class FieldTransformation:
     fields: list[str]
     builder: Callable[[Column], Column]
     kind: str
+    # optional RecordCondition gating this transformation (DLP
+    # FieldTransformation.condition): rows where it is false/un-evaluable
+    # keep their original value
+    condition: "CompiledCondition | None" = None
 
 
 @dataclass
@@ -66,6 +163,10 @@ class DeidTemplate:
     """Compiled de-identification plan."""
 
     transformations: list[FieldTransformation] = field(default_factory=list)
+    # compiled recordSuppressions (DLP RecordTransformations.record_suppressions):
+    # rows matching ANY suppression are dropped from the output entirely,
+    # evaluated against ORIGINAL values before any field transformation
+    suppressions: list[CompiledCondition] = field(default_factory=list)
     # detectors referenced by infoTypeTransformations, for inspect parity
     detectors: list[infotypes.InfoType] = field(default_factory=list)
     # field name -> surrogateInfoType name for cryptoDeterministicConfig
@@ -112,8 +213,15 @@ class DeidTemplate:
                 return custom[name]
             return infotypes.resolve(name)
 
+        for rs in record.get("recordSuppressions", []):
+            out.suppressions.append(_record_condition(rs["condition"]))
+
         for ft in record.get("fieldTransformations", []):
             fields_ = [f["name"] for f in ft["fields"]]
+            # optional per-transformation RecordCondition (public
+            # FieldTransformation.condition oneof-sibling): rows where it
+            # does not hold keep their original value
+            cond = _record_condition(ft["condition"]) if "condition" in ft else None
             if "infoTypeTransformations" in ft:
                 for t in ft["infoTypeTransformations"]["transformations"]:
                     dets = [_resolve(i["name"]) for i in t.get("infoTypes", [])]
@@ -125,6 +233,7 @@ class DeidTemplate:
                                 fields_,
                                 lambda c, dd=tuple(dets): transforms.replace_with_infotype(c, dd),
                                 "replaceWithInfoType",
+                                condition=cond,
                             )
                         )
                     elif "redactConfig" in prim:
@@ -133,6 +242,7 @@ class DeidTemplate:
                                 fields_,
                                 lambda c, dd=tuple(dets): transforms.redact(c, dd),
                                 "redact",
+                                condition=cond,
                             )
                         )
                     elif "replaceConfig" in prim:
@@ -142,6 +252,7 @@ class DeidTemplate:
                                 fields_,
                                 lambda c, dd=tuple(dets), v=nv: transforms.replace_value(c, dd, v),
                                 "replace",
+                                condition=cond,
                             )
                         )
                     else:
@@ -160,9 +271,10 @@ class DeidTemplate:
                     fields_,
                     _primitive(prim, crypto_key, deterministic_mode, hash_mode, date_shift_basis),
                     list(prim)[0],
+                    condition=cond,
                 )
             )
-        if not out.transformations:
+        if not out.transformations and not out.suppressions:
             # a "deid" plan with zero transformations would write raw PII
             # while reporting healthy metrics — refuse loudly instead
             raise ValueError(
@@ -331,6 +443,15 @@ def _primitive(
     if "replaceConfig" in prim:
         nv = prim["replaceConfig"]["newValue"]["stringValue"]
         return lambda c: F.lit(nv)
+    if "replaceDictionaryConfig" in prim:
+        words = prim["replaceDictionaryConfig"]["wordList"]["words"]
+        # no _require_key: DLP's dictionary replacement is unkeyed (it picks
+        # a word at random); our deterministic pick accepts an optional key
+        # so distinct deployments map values to different words
+        dict_key = crypto_key or ""
+        return lambda c: transforms.replace_dictionary(
+            c, list(words), key=dict_key, hash_basis=date_shift_basis
+        )
     if "redactConfig" in prim:
         return lambda c: F.lit(None).cast("string")
     raise ValueError(f"unsupported primitiveTransformation: {list(prim)}")

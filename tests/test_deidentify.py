@@ -392,3 +392,213 @@ def test_inspect_position_cap_long_cell_is_not_quadratic_in_structs(spark):
     ).collect()
     assert [r.quote for r in out] == [f"x{i}@b.com" for i in range(10)]
     assert time.time() - t0 < 60  # generous; the struct-fold form crawls
+
+
+# -- RecordCondition: recordSuppressions + per-transform condition +
+#    replaceDictionaryConfig (public DeidentifyConfig surface; the
+#    reference's sample templates omit them but its users configure them —
+#    same proto family as deid-template.json's recordTransformations) -----
+
+_COND_TEMPLATE = {
+    "deidentifyConfig": {
+        "recordTransformations": {
+            "recordSuppressions": [
+                {
+                    "condition": {
+                        "expressions": {
+                            "logicalOperator": "AND",
+                            "conditions": {
+                                "conditions": [
+                                    {
+                                        "field": {"name": "status"},
+                                        "operator": "EQUAL_TO",
+                                        "value": {"stringValue": "drop-me"},
+                                    }
+                                ]
+                            },
+                        }
+                    }
+                }
+            ],
+            "fieldTransformations": [
+                {
+                    "fields": [{"name": "clerk"}],
+                    "condition": {
+                        "expressions": {
+                            "conditions": {
+                                "conditions": [
+                                    {
+                                        "field": {"name": "amount"},
+                                        "operator": "GREATER_THAN",
+                                        "value": {"floatValue": 100.0},
+                                    }
+                                ]
+                            }
+                        }
+                    },
+                    "primitiveTransformation": {
+                        "replaceConfig": {"newValue": {"stringValue": "[HIGH]"}}
+                    },
+                },
+                {
+                    "fields": [{"name": "priority"}],
+                    "primitiveTransformation": {
+                        "replaceDictionaryConfig": {
+                            "wordList": {"words": ["alpha", "bravo", "charlie"]}
+                        }
+                    },
+                },
+            ],
+        }
+    }
+}
+
+
+def _cond_df(spark):
+    return spark.createDataFrame(
+        [
+            ("keep", 50.0, "Clerk#1", "P1"),
+            ("keep", 150.0, "Clerk#2", "P2"),
+            ("drop-me", 999.0, "Clerk#3", "P3"),
+            ("keep", None, "Clerk#4", None),
+        ],
+        "status string, amount double, clerk string, priority string",
+    )
+
+
+def test_record_suppression_drops_matching_rows(spark):
+    t = dds.DeidTemplate.from_dict(_COND_TEMPLATE, crypto_key=KEY)
+    out = dds.deidentify(_cond_df(spark), t)
+    rows = {r.clerk for r in out.collect()}
+    assert "Clerk#3" not in rows and len(rows) == 3
+
+
+def test_per_transform_condition_gates_rows(spark):
+    t = dds.DeidTemplate.from_dict(_COND_TEMPLATE, crypto_key=KEY)
+    got = {r.status + "/" + r.clerk: r for r in dds.deidentify(_cond_df(spark), t).collect()}
+    # amount 150 > 100 → replaced; 50 and NULL (un-evaluable → no match) keep
+    assert got["keep/[HIGH]"].amount == 150.0
+    assert "keep/Clerk#1" in got and "keep/Clerk#4" in got
+
+
+def test_replace_dictionary_is_deterministic_and_in_wordlist(spark):
+    t = dds.DeidTemplate.from_dict(_COND_TEMPLATE, crypto_key=KEY)
+    out1 = dds.deidentify(_cond_df(spark), t).orderBy("clerk").collect()
+    out2 = dds.deidentify(_cond_df(spark), t).orderBy("clerk").collect()
+    assert [r.priority for r in out1] == [r.priority for r in out2]
+    for r in out1:
+        if r.clerk == "Clerk#4":
+            assert r.priority is None  # NULL stays NULL
+        else:
+            assert r.priority in ("alpha", "bravo", "charlie")
+
+
+def test_replace_dictionary_md5_basis_matches_python():
+    import hashlib as _h
+
+    words = ["alpha", "bravo", "charlie"]
+    value, key = "P1", KEY
+    h = int(_h.md5((key + value).encode()).hexdigest()[:15], 16)
+    expect = words[h % len(words)]
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    from dlp_dataflow_deidentification_spark.functions.transforms import replace_dictionary
+
+    got = (
+        spark.range(1)
+        .select(replace_dictionary(F.lit(value), words, key=key, hash_basis="md5").alias("w"))
+        .first()
+        .w
+    )
+    assert got == expect
+
+
+def test_condition_on_transformed_field_reads_original_value(spark):
+    # the condition reads `clerk`, which transform #1 rewrites BEFORE
+    # transform #2 runs — #2's condition must still see the original
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {
+                        "fields": [{"name": "clerk"}],
+                        "primitiveTransformation": {
+                            "replaceConfig": {"newValue": {"stringValue": "X"}}
+                        },
+                    },
+                    {
+                        "fields": [{"name": "priority"}],
+                        "condition": {
+                            "expressions": {
+                                "conditions": {
+                                    "conditions": [
+                                        {
+                                            "field": {"name": "clerk"},
+                                            "operator": "EQUAL_TO",
+                                            "value": {"stringValue": "Clerk#1"},
+                                        }
+                                    ]
+                                }
+                            }
+                        },
+                        "primitiveTransformation": {
+                            "replaceConfig": {"newValue": {"stringValue": "GATED"}}
+                        },
+                    },
+                ]
+            }
+        }
+    }
+    t = dds.DeidTemplate.from_dict(doc)
+    df = spark.createDataFrame(
+        [("Clerk#1", "p"), ("Clerk#2", "p")], "clerk string, priority string"
+    )
+    rows = sorted(dds.deidentify(df, t).collect())
+    assert [(r.clerk, r.priority) for r in rows] == [("X", "GATED"), ("X", "p")]
+    assert "__orig_clerk__" not in dds.deidentify(df, t).columns
+
+
+def test_suppression_only_template_is_valid(spark):
+    doc = {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "recordSuppressions": _COND_TEMPLATE["deidentifyConfig"][
+                    "recordTransformations"
+                ]["recordSuppressions"]
+            }
+        }
+    }
+    t = dds.DeidTemplate.from_dict(doc)
+    assert t.transformations == [] and len(t.suppressions) == 1
+    assert dds.deidentify(_cond_df(spark), t).count() == 3
+
+
+def test_condition_validation_errors():
+    base = _COND_TEMPLATE["deidentifyConfig"]["recordTransformations"]
+    import copy
+
+    bad_or = copy.deepcopy({"deidentifyConfig": {"recordTransformations": base}})
+    bad_or["deidentifyConfig"]["recordTransformations"]["recordSuppressions"][0][
+        "condition"
+    ]["expressions"]["logicalOperator"] = "OR"
+    with pytest.raises(ValueError, match="logicalOperator"):
+        dds.DeidTemplate.from_dict(bad_or, crypto_key=KEY)
+
+    bad_op = copy.deepcopy({"deidentifyConfig": {"recordTransformations": base}})
+    bad_op["deidentifyConfig"]["recordTransformations"]["fieldTransformations"][0][
+        "condition"
+    ]["expressions"]["conditions"]["conditions"][0]["operator"] = "LIKE"
+    with pytest.raises(ValueError, match="operator"):
+        dds.DeidTemplate.from_dict(bad_op, crypto_key=KEY)
+
+
+def test_condition_on_absent_column_is_no_match(spark):
+    # suppression reads a column the frame lacks → NULL → no row dropped;
+    # gated transform likewise never fires
+    t = dds.DeidTemplate.from_dict(_COND_TEMPLATE, crypto_key=KEY)
+    df = spark.createDataFrame(
+        [(1.0, "Clerk#9", "P9")], "amount double, clerk string, priority string"
+    )
+    out = dds.deidentify(df, t).collect()
+    assert len(out) == 1 and out[0].clerk == "Clerk#9"
