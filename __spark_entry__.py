@@ -776,6 +776,71 @@ def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
 
 
+def q_inspect_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InspectConfig.ruleSet end-to-end (public InspectionRuleSet surface):
+    a hotwordRule lifts PHONE_NUMBER findings to VERY_LIKELY when 'error'
+    appears within 40 chars before the finding (proximity window includes
+    the finding, per the proto), and an exclusionRule drops EMAIL_ADDRESS
+    findings full-matching even-numbered test users. Runs on the offsets
+    path (the full-fidelity rules locus — rules run per cell inside the
+    Arrow-batched scan, no extra shuffle); the DuckDB oracle recomputes the
+    same windows/offsets in pure SQL, so adjusted likelihoods, exclusions,
+    and offsets are all value-checked."""
+    cfg = dds.InspectConfig.from_dict(
+        {
+            "inspectConfig": {
+                "infoTypes": [{"name": "PHONE_NUMBER"}, {"name": "EMAIL_ADDRESS"}],
+                "ruleSet": [
+                    {
+                        "infoTypes": [{"name": "PHONE_NUMBER"}],
+                        "rules": [
+                            {
+                                "hotwordRule": {
+                                    "hotwordRegex": {"pattern": "(?i)error"},
+                                    "proximity": {"windowBefore": 40},
+                                    "likelihoodAdjustment": {
+                                        "fixedLikelihood": "VERY_LIKELY"
+                                    },
+                                }
+                            }
+                        ],
+                    },
+                    {
+                        "infoTypes": [{"name": "EMAIL_ADDRESS"}],
+                        "rules": [
+                            {
+                                "exclusionRule": {
+                                    "regex": {
+                                        "pattern": r"user[0-9]*[02468]@example\.com"
+                                    },
+                                    "matchingType": "MATCHING_TYPE_FULL_MATCH",
+                                }
+                            }
+                        ],
+                    },
+                ],
+            }
+        }
+    )
+    tdf = _transcripts(spark, sf_dir)
+    out = dds.inspect_offsets(
+        tdf,
+        cfg.detectors,
+        ["text"],
+        id_columns=["conv_id", "turn_idx"],
+        rule_sets=cfg.rule_sets,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "info_type_name",
+        "likelihood",
+        "quote",
+        F.col("location_start").cast("long").alias("location_start"),
+        F.col("location_end").cast("long").alias("location_end"),
+    )
+
+
 # Record-level controls template (public DLP RecordTransformations surface:
 # recordSuppressions drop whole rows, FieldTransformation.condition gates a
 # transform per-row, replaceDictionaryConfig substitutes from a word list —
@@ -899,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_infotype_hits": q_sliding_infotype_hits,
         "deid_dates": q_deid_dates,
         "deid_conditional": q_deid_conditional,
+        "inspect_rules": q_inspect_rules,
     }
 
 
@@ -949,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "inspect_limits": _inspect_limits_oracle(max_per_item=2),
         "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
+        "inspect_rules": _inspect_rules_oracle(),
         "deid_cards": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id,"
             f" sha256('{KEY}' || card_pin) AS card_pin,"
@@ -1438,6 +1505,47 @@ def _inspect_offsets_oracle() -> str:
             f" UNNEST(generate_series(1, len(m))) AS t(i)"
         )
     return f"{_transcripts_cte()} " + " UNION ALL ".join(arms)
+
+
+def _inspect_rules_oracle() -> str:
+    """q_inspect_rules in pure SQL: the offsets derivation of
+    _inspect_offsets_oracle (text carried through), then the hotword CASE
+    over the proximity window substring (window = [start-40, end), includes
+    the finding) and the exclusion as WHERE NOT full-match."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    arms = []
+    for name in ("PHONE_NUMBER", "EMAIL_ADDRESS"):
+        it = resolve(name)
+        pat = it.pattern.replace("'", "''")
+        arms.append(
+            f"SELECT conv_id, turn_idx, text,"
+            f" '{it.name}' AS info_type_name, '{it.likelihood}' AS lk0,"
+            f" m[i] AS quote,"
+            f" CAST(coalesce(list_sum(list_transform(s[1:i], x -> length(x))), 0)"
+            f"  + coalesce(list_sum(list_transform(m[1:i-1], x -> length(x))), 0) AS BIGINT)"
+            f"  AS location_start,"
+            f" CAST(coalesce(list_sum(list_transform(s[1:i], x -> length(x))), 0)"
+            f"  + coalesce(list_sum(list_transform(m[1:i-1], x -> length(x))), 0)"
+            f"  + length(m[i]) AS BIGINT) AS location_end"
+            f" FROM (SELECT conv_id, turn_idx, text,"
+            f"   regexp_extract_all(text, '{pat}') AS m,"
+            f"   string_split_regex(text, '{pat}') AS s FROM transcripts),"
+            f" UNNEST(generate_series(1, len(m))) AS t(i)"
+        )
+    f = " UNION ALL ".join(arms)
+    return (
+        f"{_transcripts_cte()}, f AS ({f})"
+        " SELECT conv_id, turn_idx, info_type_name,"
+        " CASE WHEN info_type_name = 'PHONE_NUMBER' AND regexp_matches("
+        "   substr(text, CAST(greatest(location_start - 40, 0) + 1 AS BIGINT),"
+        "          CAST(location_end - greatest(location_start - 40, 0) AS BIGINT)),"
+        "   '(?i)error') THEN 'VERY_LIKELY' ELSE lk0 END AS likelihood,"
+        " quote, location_start, location_end"
+        " FROM f"
+        " WHERE NOT (info_type_name = 'EMAIL_ADDRESS'"
+        "   AND regexp_full_match(quote, 'user[0-9]*[02468]@example\\.com'))"
+    )
 
 
 def _corpus_curate_oracle() -> str:

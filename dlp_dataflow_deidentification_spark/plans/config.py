@@ -286,6 +286,126 @@ class DeidTemplate:
 
 
 @dataclass
+class HotwordRule:
+    """DLP CustomInfoType.DetectionRule.HotwordRule: a context regex
+    searched in a character window around each finding; on a hit the
+    finding's likelihood is adjusted (fixed or relative). Per the public
+    proto, the window INCLUDES the finding itself, so hotwords can match
+    substrings of the finding."""
+
+    pattern: str
+    window_before: int = 0
+    window_after: int = 0
+    fixed_likelihood: "str | None" = None
+    relative_likelihood: "int | None" = None
+
+
+@dataclass
+class ExclusionRule:
+    """DLP ExclusionRule: drops findings matching the rule. Exactly one of
+    ``pattern`` (regex), ``words`` (dictionary, case-insensitive like DLP's
+    dictionary matching), ``exclude_info_types`` (drop findings overlapping
+    a finding of a listed type in the same cell), or ``hotword``
+    (excludeByHotword: drop when the hotword regex hits the proximity
+    window) is set."""
+
+    matching_type: str = "MATCHING_TYPE_FULL_MATCH"
+    pattern: "str | None" = None
+    words: "list[str] | None" = None
+    exclude_info_types: "list[str] | None" = None
+    hotword: "HotwordRule | None" = None
+
+
+@dataclass
+class InspectionRuleSet:
+    """One InspectionRuleSet entry: rules scoped to ``info_types`` (empty =
+    every detector)."""
+
+    info_types: list[str] = field(default_factory=list)
+    hotwords: list[HotwordRule] = field(default_factory=list)
+    exclusions: list[ExclusionRule] = field(default_factory=list)
+
+
+_MATCHING_TYPES = (
+    "MATCHING_TYPE_FULL_MATCH",
+    "MATCHING_TYPE_PARTIAL_MATCH",
+    "MATCHING_TYPE_INVERSE_MATCH",
+)
+
+
+def _parse_hotword(hr: dict) -> HotwordRule:
+    prox = hr.get("proximity") or {}
+    adj = hr.get("likelihoodAdjustment") or {}
+    fixed = adj.get("fixedLikelihood")
+    rel = adj.get("relativeLikelihood")
+    if fixed is not None and rel is not None:
+        raise ValueError(
+            "likelihoodAdjustment is a oneof: fixedLikelihood or "
+            "relativeLikelihood, not both"
+        )
+    return HotwordRule(
+        pattern=hr["hotwordRegex"]["pattern"],
+        window_before=int(prox.get("windowBefore", 0)),
+        window_after=int(prox.get("windowAfter", 0)),
+        fixed_likelihood=fixed,
+        relative_likelihood=int(rel) if rel is not None else None,
+    )
+
+
+def _parse_rule_set(rs: dict) -> InspectionRuleSet:
+    out = InspectionRuleSet(
+        info_types=[i["name"] for i in rs.get("infoTypes", [])]
+    )
+    for rule in rs.get("rules", []):
+        if "hotwordRule" in rule:
+            out.hotwords.append(_parse_hotword(rule["hotwordRule"]))
+        elif "exclusionRule" in rule:
+            ex = rule["exclusionRule"]
+            mt = ex.get("matchingType", "MATCHING_TYPE_FULL_MATCH")
+            if mt not in _MATCHING_TYPES:
+                raise ValueError(
+                    f"unknown matchingType {mt!r}; one of {_MATCHING_TYPES}"
+                )
+            kinds = [
+                k
+                for k in ("regex", "dictionary", "excludeInfoTypes", "excludeByHotword")
+                if k in ex
+            ]
+            if len(kinds) != 1:
+                raise ValueError(
+                    f"exclusionRule needs exactly one of regex/dictionary/"
+                    f"excludeInfoTypes/excludeByHotword, got {kinds}"
+                )
+            k = kinds[0]
+            if k == "regex":
+                out.exclusions.append(
+                    ExclusionRule(matching_type=mt, pattern=ex["regex"]["pattern"])
+                )
+            elif k == "dictionary":
+                words = ex["dictionary"]["wordList"]["words"]
+                if not words:
+                    raise ValueError("exclusion dictionary with zero words")
+                out.exclusions.append(ExclusionRule(matching_type=mt, words=list(words)))
+            elif k == "excludeInfoTypes":
+                names = [i["name"] for i in ex["excludeInfoTypes"]["infoTypes"]]
+                out.exclusions.append(
+                    ExclusionRule(matching_type=mt, exclude_info_types=names)
+                )
+            else:
+                out.exclusions.append(
+                    ExclusionRule(
+                        matching_type=mt,
+                        hotword=_parse_hotword(ex["excludeByHotword"]),
+                    )
+                )
+        else:
+            raise ValueError(
+                f"inspection rule needs hotwordRule or exclusionRule, got {list(rule)}"
+            )
+    return out
+
+
+@dataclass
 class InspectConfig:
     """Compiled DLP InspectConfig (inspect-template.json:8-32; the reference
     forwards minLikelihood/includeQuote/limits to the service at
@@ -296,6 +416,9 @@ class InspectConfig:
     min_likelihood: "str | None" = None
     include_quote: bool = True
     max_findings_per_item: "int | None" = None
+    # compiled InspectConfig.ruleSet entries (hotword likelihood
+    # adjustment + exclusion rules), applied by operators.inspect
+    rule_sets: list[InspectionRuleSet] = field(default_factory=list)
 
     @classmethod
     def from_file(cls, path: str) -> "InspectConfig":
@@ -322,6 +445,7 @@ class InspectConfig:
             min_likelihood=cfg.get("minLikelihood"),
             include_quote=cfg.get("includeQuote", True),
             max_findings_per_item=limits.get("maxFindingsPerItem"),
+            rule_sets=[_parse_rule_set(rs) for rs in cfg.get("ruleSet", [])],
         )
 
 
