@@ -63,9 +63,12 @@ def deidentify(df: DataFrame, template: DeidTemplate) -> DataFrame:
             return F.col(name)
         return F.lit(None)
 
-    # 3. field transformations, in template order
+    # 3. field transformations, in template order; fields=None (top-level
+    # infoTypeTransformations — unstructured-ContentItem template shape)
+    # targets every string column, like the service applied to a table
+    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     for ft in template.transformations:
-        for name in ft.fields:
+        for name in ft.fields if ft.fields is not None else string_cols:
             if name not in cols:
                 continue
             new = ft.builder(out[name])

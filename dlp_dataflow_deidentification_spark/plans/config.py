@@ -213,6 +213,57 @@ class DeidTemplate:
                 return custom[name]
             return infotypes.resolve(name)
 
+        def _compile_itt(transformations, fields_, cond):
+            """Compile one infoTypeTransformations.transformations list —
+            shared by the per-field form and the top-level (unstructured
+            ContentItem) form, where ``fields_`` is None = every string
+            column at apply time."""
+            for t in transformations:
+                dets = [_resolve(i["name"]) for i in t.get("infoTypes", [])]
+                out.detectors.extend(d for d in dets if d not in out.detectors)
+                prim = t["primitiveTransformation"]
+                if "replaceWithInfoTypeConfig" in prim:
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets): transforms.replace_with_infotype(c, dd),
+                            "replaceWithInfoType",
+                            condition=cond,
+                        )
+                    )
+                elif "redactConfig" in prim:
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets): transforms.redact(c, dd),
+                            "redact",
+                            condition=cond,
+                        )
+                    )
+                elif "replaceConfig" in prim:
+                    nv = prim["replaceConfig"]["newValue"]["stringValue"]
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets), v=nv: transforms.replace_value(c, dd, v),
+                            "replace",
+                            condition=cond,
+                        )
+                    )
+                else:
+                    raise ValueError(f"unsupported infoType transform: {list(prim)}")
+
+        # top-level infoTypeTransformations (DeidentifyConfig oneof — the
+        # unstructured-ContentItem template shape): applied to EVERY string
+        # column, like the service does when such a config meets a table
+        if "infoTypeTransformations" in cfg:
+            if "recordTransformations" in cfg:
+                raise ValueError(
+                    "deidentifyConfig is a oneof: recordTransformations OR "
+                    "infoTypeTransformations, not both"
+                )
+            _compile_itt(cfg["infoTypeTransformations"]["transformations"], None, None)
+
         for rs in record.get("recordSuppressions", []):
             out.suppressions.append(_record_condition(rs["condition"]))
 
@@ -223,40 +274,7 @@ class DeidTemplate:
             # does not hold keep their original value
             cond = _record_condition(ft["condition"]) if "condition" in ft else None
             if "infoTypeTransformations" in ft:
-                for t in ft["infoTypeTransformations"]["transformations"]:
-                    dets = [_resolve(i["name"]) for i in t.get("infoTypes", [])]
-                    out.detectors.extend(d for d in dets if d not in out.detectors)
-                    prim = t["primitiveTransformation"]
-                    if "replaceWithInfoTypeConfig" in prim:
-                        out.transformations.append(
-                            FieldTransformation(
-                                fields_,
-                                lambda c, dd=tuple(dets): transforms.replace_with_infotype(c, dd),
-                                "replaceWithInfoType",
-                                condition=cond,
-                            )
-                        )
-                    elif "redactConfig" in prim:
-                        out.transformations.append(
-                            FieldTransformation(
-                                fields_,
-                                lambda c, dd=tuple(dets): transforms.redact(c, dd),
-                                "redact",
-                                condition=cond,
-                            )
-                        )
-                    elif "replaceConfig" in prim:
-                        nv = prim["replaceConfig"]["newValue"]["stringValue"]
-                        out.transformations.append(
-                            FieldTransformation(
-                                fields_,
-                                lambda c, dd=tuple(dets), v=nv: transforms.replace_value(c, dd, v),
-                                "replace",
-                                condition=cond,
-                            )
-                        )
-                    else:
-                        raise ValueError(f"unsupported infoType transform: {list(prim)}")
+                _compile_itt(ft["infoTypeTransformations"]["transformations"], fields_, cond)
                 continue
 
             prim = ft["primitiveTransformation"]

@@ -133,6 +133,11 @@ class StreamingDeidJob:
     max_files_per_trigger: int | None = None
     mode: str = "deid"
     text_columns: tuple = ("text",)
+    # optional full InspectConfig for mode="inspect" (detectors +
+    # minLikelihood/includeQuote/limits + quote-scoped ruleSet exclusions —
+    # the native streaming path; offset-dependent rules raise, as in batch
+    # inspect). None = the deid template's detectors, the historical default
+    inspect_config: "object | None" = None
     reid_columns: tuple = ("text",)
     # no default key on purpose: reid mode raises without an explicit key
     # (a shared hardcoded key would make every deployment's tokens public)
@@ -178,11 +183,22 @@ class StreamingDeidJob:
         elif self.mode == "inspect":
             from ..operators.inspect import inspect
 
+            ic = self.inspect_config
             out = inspect(
                 df,
-                self.template.detectors,
+                ic.detectors if ic is not None else self.template.detectors,
                 list(self.text_columns),
                 id_columns=["conv_id", "turn_idx", "ts"],
+                **(
+                    dict(
+                        min_likelihood=ic.min_likelihood,
+                        include_quote=ic.include_quote,
+                        max_findings_per_item=ic.max_findings_per_item,
+                        rule_sets=ic.rule_sets,
+                    )
+                    if ic is not None
+                    else {}
+                ),
             )
         elif self.mode == "reid":
             from ..functions import transforms

@@ -602,3 +602,42 @@ def test_condition_on_absent_column_is_no_match(spark):
     )
     out = dds.deidentify(df, t).collect()
     assert len(out) == 1 and out[0].clerk == "Clerk#9"
+
+
+def test_top_level_infotype_transformations_apply_to_all_string_columns(spark):
+    # DeidentifyConfig oneof: top-level infoTypeTransformations (the
+    # unstructured-ContentItem template shape) hits EVERY string column;
+    # non-string columns are untouched
+    doc = {
+        "deidentifyConfig": {
+            "infoTypeTransformations": {
+                "transformations": [
+                    {
+                        "infoTypes": [{"name": "EMAIL_ADDRESS"}],
+                        "primitiveTransformation": {"replaceWithInfoTypeConfig": {}},
+                    }
+                ]
+            }
+        }
+    }
+    t = dds.DeidTemplate.from_dict(doc)
+    assert t.transformations[0].fields is None
+    df = spark.createDataFrame(
+        [(1, "mail a@x.com", "cc b@y.com", 2.5)],
+        "id int, body string, extra string, score double",
+    )
+    row = dds.deidentify(df, t).first()
+    assert row.body == "mail [EMAIL_ADDRESS]"
+    assert row.extra == "cc [EMAIL_ADDRESS]"
+    assert row.id == 1 and row.score == 2.5
+
+
+def test_top_level_itt_and_record_transformations_are_exclusive():
+    doc = {
+        "deidentifyConfig": {
+            "infoTypeTransformations": {"transformations": []},
+            "recordTransformations": {"fieldTransformations": []},
+        }
+    }
+    with pytest.raises(ValueError, match="oneof"):
+        dds.DeidTemplate.from_dict(doc)

@@ -314,3 +314,63 @@ def test_streaming_reid_strips_template_surrogate_envelope(spark, tmp_path, inpu
         for r in tdf.select("conv_id", "turn_idx", "text").collect()
     }
     assert got == want and len(got) == 2000
+
+
+def test_streaming_inspect_mode_with_rule_set_exclusions(spark, tmp_path, input_dir, template):
+    """mode='inspect' with a full InspectConfig: a quote-scoped exclusion
+    ruleSet drops EMAIL findings in-stream (native filter over the match
+    arrays — no Python in the hot path); stream ≡ batch with the same
+    config."""
+    cfg = dds.InspectConfig.from_dict(
+        {
+            "inspectConfig": {
+                "infoTypes": [{"name": "EMAIL_ADDRESS"}, {"name": "PHONE_NUMBER"}],
+                "ruleSet": [
+                    {
+                        "infoTypes": [{"name": "EMAIL_ADDRESS"}],
+                        "rules": [
+                            {
+                                "exclusionRule": {
+                                    "regex": {"pattern": r"[a-z0-9]*[02468]@example\.com"},
+                                    "matchingType": "MATCHING_TYPE_FULL_MATCH",
+                                }
+                            }
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mode="inspect",
+        inspect_config=cfg,
+    )
+    job.run_to_completion()
+    got = {
+        r.info_type_name: r["count"]
+        for r in job.sink().read_committed(spark).groupBy("info_type_name").count().collect()
+    }
+    want = {
+        r.info_type_name: r["count"]
+        for r in dds.inspect(
+            spark.read.parquet(input_dir),
+            cfg.detectors,
+            ["text"],
+            id_columns=["conv_id"],
+            rule_sets=cfg.rule_sets,
+        )
+        .groupBy("info_type_name")
+        .count()
+        .collect()
+    }
+    assert got == want and set(got) == {"EMAIL_ADDRESS", "PHONE_NUMBER"}
+    # the exclusion actually bit: fewer emails than the rule-free run
+    free = dds.inspect(
+        spark.read.parquet(input_dir), cfg.detectors, ["text"]
+    ).where(F.col("info_type_name") == "EMAIL_ADDRESS").count()
+    assert got["EMAIL_ADDRESS"] < free
