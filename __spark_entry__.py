@@ -776,6 +776,68 @@ def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
 
 
+def q_deid_text_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-finding transforms INSIDE free text (DLP InfoTypeTransformations
+    with computed primitives — functions/findings.py): every EMAIL_ADDRESS
+    finding becomes its keyed sha256 surrogate in place, every PHONE_NUMBER
+    finding is fully masked in place, surrounding text untouched.
+    Arrow-batched pandas re.sub (a computed-per-match replacement has no
+    native regexp_replace form); the DuckDB oracle rebuilds the same text
+    from split segments + transformed matches (split/zip/rebuild), so the
+    inline replacement semantics are value-checked byte-for-byte."""
+    from dlp_dataflow_deidentification_spark.functions import findings as fnd
+
+    tdf = _transcripts(spark, sf_dir)
+    return tdf.select(
+        "conv_id",
+        "turn_idx",
+        fnd.transform_findings(
+            F.col("text"),
+            ["EMAIL_ADDRESS", "PHONE_NUMBER"],
+            {
+                "EMAIL_ADDRESS": fnd.hash_repl(KEY, "sha256"),
+                "PHONE_NUMBER": fnd.mask_repl(),
+            },
+        ).alias("text"),
+    )
+
+
+def q_text_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline surrogate tokenization round-trip (the free-text form of the
+    reference's surrogate REID workflow, DLPReidentifyText.java:323-381):
+    EMAIL findings are SIV-tokenized in place under an EMAIL_TOKEN(len):
+    envelope, then reidentify_text scans the envelopes back out. The
+    ``*_ok`` columns are computed Spark-side from the ACTUAL tokenized
+    intermediate (envelope count == original email count; tokenized text
+    differs whenever an email existed) while the oracle pins them literal
+    TRUE and text = original — the hash match certifies both the envelope
+    format and the lossless round-trip."""
+    from dlp_dataflow_deidentification_spark.functions import findings as fnd
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+    from dlp_dataflow_deidentification_spark.plans.config import derive_siv_key
+
+    key = derive_siv_key(KEY)
+    email_pat = resolve("EMAIL_ADDRESS").pattern
+    tdf = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    tok = tdf.withColumn(
+        "tok",
+        fnd.transform_findings(
+            F.col("text"), ["EMAIL_ADDRESS"], fnd.siv_repl(key, "EMAIL_TOKEN")
+        ),
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(email_pat), F.lit(0)))
+    n_envelopes = F.size(
+        F.regexp_extract_all(F.col("tok"), F.lit(r"EMAIL_TOKEN\([0-9]+\):"), F.lit(0))
+    )
+    return tok.select(
+        "conv_id",
+        "turn_idx",
+        fnd.reidentify_text(F.col("tok"), key, "EMAIL_TOKEN").alias("text"),
+        (n_emails == n_envelopes).alias("envelope_ok"),
+        ((n_emails == F.lit(0)) | (F.col("tok") != F.col("text"))).alias("tokenized_ok"),
+    )
+
+
 def q_inspect_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InspectConfig.ruleSet end-to-end (public InspectionRuleSet surface):
     a hotwordRule lifts PHONE_NUMBER findings to VERY_LIKELY when 'error'
@@ -965,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_dates": q_deid_dates,
         "deid_conditional": q_deid_conditional,
         "inspect_rules": q_inspect_rules,
+        "deid_text_inline": q_deid_text_inline,
+        "text_tokenize_roundtrip": q_text_tokenize_roundtrip,
     }
 
 
@@ -1016,6 +1080,15 @@ def oracle_sql() -> dict[str, str]:
         "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
         "inspect_rules": _inspect_rules_oracle(),
+        "deid_text_inline": _deid_text_inline_oracle(),
+        # identity + pinned-TRUE flags: the Spark side computes the flags
+        # from the real tokenized intermediate, so the hash match certifies
+        # envelope format + lossless inline round-trip
+        "text_tokenize_roundtrip": (
+            f"{_transcripts_cte()}"
+            " SELECT conv_id, turn_idx, text,"
+            " TRUE AS envelope_ok, TRUE AS tokenized_ok FROM transcripts"
+        ),
         "deid_cards": (
             f"WITH cards AS ({CARDS_SQL}) SELECT id,"
             f" sha256('{KEY}' || card_pin) AS card_pin,"
@@ -1505,6 +1578,35 @@ def _inspect_offsets_oracle() -> str:
             f" UNNEST(generate_series(1, len(m))) AS t(i)"
         )
     return f"{_transcripts_cte()} " + " UNION ALL ".join(arms)
+
+
+def _rebuild_sql(expr: str, pat: str, repl_lambda: str) -> str:
+    """DuckDB inline-replacement rebuild: split the text by the detector
+    pattern, transform each match with ``repl_lambda`` (a DuckDB lambda
+    string), and stitch segments+matches back together. list_zip pads the
+    shorter matches list with NULL so the trailing segment passes through."""
+    return (
+        "array_to_string(list_transform(list_zip("
+        f"string_split_regex({expr}, '{pat}'),"
+        f" list_append(list_transform(regexp_extract_all({expr}, '{pat}'),"
+        f" {repl_lambda}), NULL)),"
+        " z -> coalesce(z[1], '') || coalesce(z[2], '')), '')"
+    )
+
+
+def _deid_text_inline_oracle() -> str:
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    email = resolve("EMAIL_ADDRESS").pattern.replace("'", "''")
+    phone = resolve("PHONE_NUMBER").pattern.replace("'", "''")
+    # engine chains detectors: EMAIL rebuild first, PHONE rebuild over it
+    stage1 = _rebuild_sql("text", email, f"x -> sha256('{KEY}' || x)")
+    stage2 = _rebuild_sql("t1", phone, "x -> repeat('*', length(x))")
+    return (
+        f"{_transcripts_cte()},"
+        f" s1 AS (SELECT conv_id, turn_idx, {stage1} AS t1 FROM transcripts)"
+        f" SELECT conv_id, turn_idx, {stage2} AS text FROM s1"
+    )
 
 
 def _inspect_rules_oracle() -> str:

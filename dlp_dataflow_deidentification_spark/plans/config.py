@@ -30,7 +30,7 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions import crypto, fpe, infotypes, transforms
+from ..functions import crypto, findings, fpe, infotypes, transforms
 
 
 _TEMPLATE_ENVELOPES = ("deidentifyTemplate", "inspectTemplate")
@@ -247,6 +247,74 @@ class DeidTemplate:
                             fields_,
                             lambda c, dd=tuple(dets), v=nv: transforms.replace_value(c, dd, v),
                             "replace",
+                            condition=cond,
+                        )
+                    )
+                elif "characterMaskConfig" in prim:
+                    cm = prim["characterMaskConfig"]
+                    skip = "".join(
+                        _ignore_chars(ci) for ci in cm.get("charactersToIgnore", [])
+                    )
+                    repl = findings.mask_repl(
+                        cm.get("maskingCharacter", "*"),
+                        cm.get("numberToMask", 0),
+                        cm.get("reverseOrder", False),
+                        skip,
+                    )
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets), r=repl: findings.transform_findings(c, dd, r),
+                            "characterMask",
+                            condition=cond,
+                        )
+                    )
+                elif "cryptoHashConfig" in prim:
+                    k = _require_key(crypto_key, "cryptoHashConfig (per-finding)")
+                    repl = findings.hash_repl(k, hash_mode)
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets), r=repl: findings.transform_findings(c, dd, r),
+                            "cryptoHash",
+                            condition=cond,
+                        )
+                    )
+                elif "cryptoDeterministicConfig" in prim:
+                    # inline tokenization: always AES-SIV (the reference's
+                    # cipher — no ECB opt-in inline: free-text cells are
+                    # long, exactly where ECB's prefix leak is worst), and
+                    # the surrogate envelope is MANDATORY — without it the
+                    # token boundary inside the text is unrecoverable and
+                    # reidentify_text could never find it
+                    k = _require_key(crypto_key, "cryptoDeterministicConfig (per-finding)")
+                    sur = (
+                        prim["cryptoDeterministicConfig"].get("surrogateInfoType") or {}
+                    ).get("name")
+                    if not sur:
+                        raise ValueError(
+                            "per-finding cryptoDeterministicConfig requires "
+                            "surrogateInfoType — inline tokens need the "
+                            "NAME(len): envelope to be re-identifiable"
+                        )
+                    repl = findings.siv_repl(derive_siv_key(k), sur)
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets), r=repl: findings.transform_findings(c, dd, r),
+                            "cryptoDeterministic",
+                            condition=cond,
+                        )
+                    )
+                elif "cryptoReplaceFfxFpeConfig" in prim:
+                    cfg_f = prim["cryptoReplaceFfxFpeConfig"]
+                    k = _require_key(crypto_key, "cryptoReplaceFfxFpeConfig (per-finding)")
+                    repl = findings.ff1_repl(fpe.derive_fpe_key(k), _ffx_alphabet(cfg_f))
+                    out.transformations.append(
+                        FieldTransformation(
+                            fields_,
+                            lambda c, dd=tuple(dets), r=repl: findings.transform_findings(c, dd, r),
+                            "cryptoReplaceFfxFpe",
                             condition=cond,
                         )
                     )
