@@ -205,6 +205,18 @@ class DeidTemplate:
         doc = load_template_doc(doc)  # unwrap tool-skeleton envelopes
         custom = custom_infotypes or {"ONLINE_USER_ID": infotypes.ONLINE_USER_ID}
         cfg = doc.get("deidentifyConfig", doc)
+        # transformationErrorHandling oneof: throwError (this engine's
+        # behavior — a per-cell transform error fails the task) is accepted;
+        # leaveUntransformed is NOT silently ignored — honoring it would
+        # require per-cell error recovery native expressions don't offer,
+        # and pretending otherwise would mis-handle real templates
+        teh = cfg.get("transformationErrorHandling")
+        if teh is not None and "leaveUntransformed" in teh:
+            raise NotImplementedError(
+                "transformationErrorHandling.leaveUntransformed is not "
+                "supported (native expressions fail the task on a per-cell "
+                "error; use the error-side-output / dead-letter leg instead)"
+            )
         record = cfg.get("recordTransformations", cfg)
         out = cls()
 
@@ -270,7 +282,10 @@ class DeidTemplate:
                         )
                     )
                 elif "cryptoHashConfig" in prim:
-                    k = _require_key(crypto_key, "cryptoHashConfig (per-finding)")
+                    k = _resolve_key(
+                        prim["cryptoHashConfig"], crypto_key,
+                        "cryptoHashConfig (per-finding)",
+                    )
                     repl = findings.hash_repl(k, hash_mode)
                     out.transformations.append(
                         FieldTransformation(
@@ -287,7 +302,10 @@ class DeidTemplate:
                     # the surrogate envelope is MANDATORY — without it the
                     # token boundary inside the text is unrecoverable and
                     # reidentify_text could never find it
-                    k = _require_key(crypto_key, "cryptoDeterministicConfig (per-finding)")
+                    k = _resolve_key(
+                        prim["cryptoDeterministicConfig"], crypto_key,
+                        "cryptoDeterministicConfig (per-finding)",
+                    )
                     sur = (
                         prim["cryptoDeterministicConfig"].get("surrogateInfoType") or {}
                     ).get("name")
@@ -308,7 +326,9 @@ class DeidTemplate:
                     )
                 elif "cryptoReplaceFfxFpeConfig" in prim:
                     cfg_f = prim["cryptoReplaceFfxFpeConfig"]
-                    k = _require_key(crypto_key, "cryptoReplaceFfxFpeConfig (per-finding)")
+                    k = _resolve_key(
+                        cfg_f, crypto_key, "cryptoReplaceFfxFpeConfig (per-finding)"
+                    )
                     repl = findings.ff1_repl(fpe.derive_fpe_key(k), _ffx_alphabet(cfg_f))
                     out.transformations.append(
                         FieldTransformation(
@@ -554,6 +574,42 @@ def _require_key(crypto_key: "str | None", which: str) -> str:
     return crypto_key
 
 
+def _resolve_key(cfg: "dict | None", crypto_key: "str | None", which: str) -> str:
+    """Template CryptoKey oneof (the public proto: transient | unwrapped |
+    kmsWrapped) → key-material string for this engine's string-keyed
+    derivation pipeline (derive_siv_key / HMAC / FF1 all derive working
+    keys from a string).
+
+    Precedence: an explicit ``crypto_key`` argument ALWAYS wins — it is the
+    in-process substitute for KMS unwrap and the historical API.
+    ``unwrapped.key`` (base64 in the JSON wire shape) is used as key-material
+    text verbatim; ``transient.name`` derives deterministically from the
+    name (the service mints a RANDOM per-request key for transient — the
+    deterministic derivation is this engine's replay-stable stance, same as
+    date_shift/replace_dictionary); ``kmsWrapped`` cannot be unwrapped
+    in-process and raises with the remedy."""
+    if crypto_key:
+        return crypto_key
+    ck = (cfg or {}).get("cryptoKey") or {}
+    if "unwrapped" in ck:
+        key = ck["unwrapped"].get("key")
+        if not key:
+            raise ValueError(f"{which}: unwrapped cryptoKey with an empty key")
+        return key
+    if "transient" in ck:
+        name = ck["transient"].get("name")
+        if not name:
+            raise ValueError(f"{which}: transient cryptoKey needs a name")
+        return "transient:" + name
+    if "kmsWrapped" in ck:
+        raise NotImplementedError(
+            f"{which} declares a kmsWrapped cryptoKey — KMS unwrap is not "
+            "available in-process; unwrap the key externally and pass it "
+            "as the explicit crypto_key argument"
+        )
+    return _require_key(None, which)
+
+
 def _primitive(
     prim: dict,
     crypto_key: "str | None",
@@ -562,7 +618,7 @@ def _primitive(
     date_shift_basis: str = "xxhash64",
 ) -> Callable[[Column], Column]:
     if "cryptoHashConfig" in prim:
-        crypto_key = _require_key(crypto_key, "cryptoHashConfig")
+        crypto_key = _resolve_key(prim["cryptoHashConfig"], crypto_key, "cryptoHashConfig")
         # "hmac" (default): strict native HMAC-SHA-256 — the reference
         # template's actual construction (deid-template.json:17-27),
         # bit-identical to real DLP tokens (crypto.crypto_hash_hmac, two
@@ -575,7 +631,9 @@ def _primitive(
             raise ValueError(f"hash_mode must be 'hmac' or 'sha256', got {hash_mode!r}")
         return lambda c: transforms.crypto_hash(c, crypto_key)
     if "cryptoDeterministicConfig" in prim:
-        crypto_key = _require_key(crypto_key, "cryptoDeterministicConfig")
+        crypto_key = _resolve_key(
+            prim["cryptoDeterministicConfig"], crypto_key, "cryptoDeterministicConfig"
+        )
         sur = prim["cryptoDeterministicConfig"].get("surrogateInfoType", {}).get("name")
         if deterministic_mode == "siv":
             if not crypto.HAVE_AESSIV:
@@ -592,7 +650,7 @@ def _primitive(
         return lambda c: transforms.crypto_deterministic(c, crypto_key, sur)
     if "cryptoReplaceFfxFpeConfig" in prim:
         cfg = prim["cryptoReplaceFfxFpeConfig"]
-        crypto_key = _require_key(crypto_key, "cryptoReplaceFfxFpeConfig")
+        crypto_key = _resolve_key(cfg, crypto_key, "cryptoReplaceFfxFpeConfig")
         alpha = _ffx_alphabet(cfg)
         sur = (cfg.get("surrogateInfoType") or {}).get("name")
         ctx = (cfg.get("context") or {}).get("name")
@@ -634,7 +692,7 @@ def _primitive(
         return lambda c: transforms.time_part(c, part)
     if "dateShiftConfig" in prim:
         ds = prim["dateShiftConfig"]
-        crypto_key = _require_key(crypto_key, "dateShiftConfig")
+        crypto_key = _resolve_key(ds, crypto_key, "dateShiftConfig")
         upper = int(ds.get("upperBoundDays", 100))
         # DLP requires both bounds; honor lowerBoundDays (e.g. 0 = valid
         # forward-only shift) instead of silently assuming -upper

@@ -641,3 +641,78 @@ def test_top_level_itt_and_record_transformations_are_exclusive():
     }
     with pytest.raises(ValueError, match="oneof"):
         dds.DeidTemplate.from_dict(doc)
+
+
+# -- CryptoKey oneof (transient | unwrapped | kmsWrapped) ----------------
+
+def _hash_template(crypto_key_obj=None):
+    prim = {"cryptoHashConfig": {}}
+    if crypto_key_obj is not None:
+        prim["cryptoHashConfig"]["cryptoKey"] = crypto_key_obj
+    return {
+        "deidentifyConfig": {
+            "recordTransformations": {
+                "fieldTransformations": [
+                    {"fields": [{"name": "v"}], "primitiveTransformation": prim}
+                ]
+            }
+        }
+    }
+
+
+def test_crypto_key_unwrapped_compiles_without_param(spark):
+    t = dds.DeidTemplate.from_dict(
+        _hash_template({"unwrapped": {"key": "c2VjcmV0LWtleS1tYXRlcmlhbA=="}})
+    )
+    df = spark.createDataFrame([("x",)], "v string")
+    tok = dds.deidentify(df, t).first().v
+    # same material passed explicitly produces the same token
+    t2 = dds.DeidTemplate.from_dict(
+        _hash_template(), crypto_key="c2VjcmV0LWtleS1tYXRlcmlhbA=="
+    )
+    assert tok == dds.deidentify(df, t2).first().v
+
+
+def test_crypto_key_transient_is_deterministic_per_name(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    a1 = dds.deidentify(
+        df, dds.DeidTemplate.from_dict(_hash_template({"transient": {"name": "job-a"}}))
+    ).first().v
+    a2 = dds.deidentify(
+        df, dds.DeidTemplate.from_dict(_hash_template({"transient": {"name": "job-a"}}))
+    ).first().v
+    b = dds.deidentify(
+        df, dds.DeidTemplate.from_dict(_hash_template({"transient": {"name": "job-b"}}))
+    ).first().v
+    assert a1 == a2 != b
+
+
+def test_crypto_key_kms_wrapped_raises_without_param():
+    with pytest.raises(NotImplementedError, match="kmsWrapped"):
+        dds.DeidTemplate.from_dict(
+            _hash_template({"kmsWrapped": {"wrappedKey": "x", "cryptoKeyName": "y"}})
+        )
+
+
+def test_crypto_key_explicit_param_wins_over_template_key(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    with_param = dds.deidentify(
+        df,
+        dds.DeidTemplate.from_dict(
+            _hash_template({"unwrapped": {"key": "template-key"}}), crypto_key=KEY
+        ),
+    ).first().v
+    explicit_only = dds.deidentify(
+        df, dds.DeidTemplate.from_dict(_hash_template(), crypto_key=KEY)
+    ).first().v
+    assert with_param == explicit_only
+
+
+def test_transformation_error_handling_leave_untransformed_raises():
+    doc = _hash_template({"transient": {"name": "j"}})
+    doc["deidentifyConfig"]["transformationErrorHandling"] = {"leaveUntransformed": {}}
+    with pytest.raises(NotImplementedError, match="leaveUntransformed"):
+        dds.DeidTemplate.from_dict(doc)
+    # throwError (this engine's actual behavior) is accepted
+    doc["deidentifyConfig"]["transformationErrorHandling"] = {"throwError": {}}
+    dds.DeidTemplate.from_dict(doc)
