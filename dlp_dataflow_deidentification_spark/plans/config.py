@@ -315,6 +315,10 @@ class DeidTemplate:
                             "surrogateInfoType — inline tokens need the "
                             "NAME(len): envelope to be re-identifiable"
                         )
+                    for f_ in fields_ or []:
+                        # streaming/batch reid auto-discovers the envelope
+                        # name per column from here (jobs.py inline mode)
+                        out.surrogates[f_] = sur
                     repl = findings.siv_repl(derive_siv_key(k), sur)
                     out.transformations.append(
                         FieldTransformation(

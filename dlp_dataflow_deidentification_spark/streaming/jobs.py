@@ -201,26 +201,46 @@ class StreamingDeidJob:
                 ),
             )
         elif self.mode == "reid":
+            import re as _re
+
             from ..functions import transforms
 
             if not self.crypto_key:
                 raise ValueError("mode='reid' requires an explicit crypto_key")
-            if self.crypto_mode not in ("siv", "ecb"):
+            if self.crypto_mode not in ("siv", "ecb", "inline"):
                 raise ValueError(
-                    f"crypto_mode must be 'siv' or 'ecb', got {self.crypto_mode!r}"
+                    f"crypto_mode must be 'siv', 'ecb', or 'inline', got {self.crypto_mode!r}"
                 )
-            if self.crypto_mode == "siv":
-                from ..functions import crypto
+            if self.crypto_mode in ("siv", "inline"):
                 from ..plans.config import derive_siv_key
 
                 siv_key = derive_siv_key(self.crypto_key)
             out = df
+            inline_surs = {}
             for c in self.reid_columns:
                 # strip the envelope the template minted for this column
                 # ("NAME(len):token") or an explicit job-level override —
                 # an enveloped token fed raw to the cipher can never decode
                 sur = self.surrogate_info_type or self.template.surrogates.get(c)
-                if self.crypto_mode == "siv":
+                if self.crypto_mode == "inline":
+                    # free-text surrogate reid: decrypt NAME(len):token
+                    # envelopes IN PLACE (tokens minted by the per-finding
+                    # cryptoDeterministicConfig path, functions/findings.py)
+                    from ..functions import findings as fnd
+
+                    if not sur:
+                        raise ValueError(
+                            "crypto_mode='inline' needs a surrogate_info_type "
+                            "(job-level or minted by the template) — inline "
+                            "envelopes are unfindable without the name"
+                        )
+                    inline_surs[c] = sur
+                    dec = fnd.reidentify_text(
+                        out[c], siv_key, sur, strict=not route_errors
+                    )
+                elif self.crypto_mode == "siv":
+                    from ..functions import crypto
+
                     dec = crypto.siv_reidentify(
                         out[c], siv_key, sur, strict=not route_errors
                     )
@@ -232,12 +252,20 @@ class StreamingDeidJob:
             if route_errors:
                 # dead derived from the MATERIALIZED __dec_<c> columns: the
                 # decrypt (a pandas UDF on the SIV path) is evaluated once
-                # per column, not re-run inside the predicate
+                # per column, not re-run inside the predicate. Cell modes
+                # null the cell on a corrupt token; inline mode LEAVES the
+                # corrupt envelope in the text, so dead = residual envelope
                 dead = F.lit(False)
                 for c in self.reid_columns:
-                    dead = dead | (
-                        F.col(c).isNotNull() & F.col(f"__dec_{c}").isNull()
-                    )
+                    if self.crypto_mode == "inline":
+                        residual = _re.escape(inline_surs[c]) + r"\([0-9]+\):"
+                        dead = dead | F.coalesce(
+                            F.col(f"__dec_{c}").rlike(residual), F.lit(False)
+                        )
+                    else:
+                        dead = dead | (
+                            F.col(c).isNotNull() & F.col(f"__dec_{c}").isNull()
+                        )
                 out = out.withColumn("__dead", dead)
             for c in self.reid_columns:
                 # dead rows keep their original (undecodable) token so the

@@ -374,3 +374,95 @@ def test_streaming_inspect_mode_with_rule_set_exclusions(spark, tmp_path, input_
         spark.read.parquet(input_dir), cfg.detectors, ["text"]
     ).where(F.col("info_type_name") == "EMAIL_ADDRESS").count()
     assert got["EMAIL_ADDRESS"] < free
+
+
+def test_streaming_inline_tokenize_then_inline_reid_roundtrip(spark, tmp_path, input_dir):
+    """Free-text surrogate workflow END-TO-END in streaming: a template
+    whose infoTypeTransformations SIV-tokenize EMAIL findings inline
+    (EMAIL_TOKEN(len): envelopes) runs as the DEID stream; a second stream
+    with crypto_mode='inline' decrypts the envelopes back out; final text
+    equals the source row-for-row. A poisoned token routes to the
+    dead-letter leg instead of crashing the stream."""
+    from dlp_dataflow_deidentification_spark.functions import crypto
+
+    if not crypto.HAVE_AESSIV:
+        pytest.skip("needs cryptography")
+    key = "0123456789abcdef"
+    inline_template = dds.DeidTemplate.from_dict(
+        {
+            "deidentifyConfig": {
+                "recordTransformations": {
+                    "fieldTransformations": [
+                        {
+                            "fields": [{"name": "text"}],
+                            "infoTypeTransformations": {
+                                "transformations": [
+                                    {
+                                        "infoTypes": [{"name": "EMAIL_ADDRESS"}],
+                                        "primitiveTransformation": {
+                                            "cryptoDeterministicConfig": {
+                                                "surrogateInfoType": {
+                                                    "name": "EMAIL_TOKEN"
+                                                }
+                                            }
+                                        },
+                                    }
+                                ]
+                            },
+                        }
+                    ]
+                }
+            }
+        },
+        crypto_key=key,
+    )
+    assert inline_template.surrogates == {"text": "EMAIL_TOKEN"}
+    tok_dir = str(tmp_path / "tok")
+    deid_job = jobs.StreamingDeidJob(
+        spark,
+        inline_template,
+        input_dir,
+        tok_dir,
+        str(tmp_path / "ckpt1"),
+    )
+    deid_job.run_to_completion()
+    tokenized = deid_job.sink().read_committed(spark)
+    n_tok = tokenized.where(F.col("text").rlike(r"EMAIL_TOKEN\([0-9]+\):")).count()
+    assert n_tok > 0
+    assert tokenized.where(F.col("text").rlike("@example")).count() == 0
+
+    # poison one committed token so the reid stream exercises dead-letter
+    poison_dir = str(tmp_path / "poison")
+    poisoned = tokenized.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id") == tokenized.select("conv_id").first().conv_id,
+            F.regexp_replace("text", r"EMAIL_TOKEN\([0-9]+\):", "EMAIL_TOKEN(8):!!!!!!!!"),
+        ).otherwise(F.col("text")),
+    )
+    poisoned.write.parquet(poison_dir)
+
+    reid_job = jobs.StreamingDeidJob(
+        spark,
+        inline_template,
+        poison_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt2"),
+        mode="reid",
+        crypto_mode="inline",
+        crypto_key=key,
+        error_output_dir=str(tmp_path / "err"),
+    )
+    reid_job.run_to_completion()
+    got = reid_job.sink().read_committed(spark)
+    err = reid_job.error_sink().read_committed(spark)
+    # dead rows carried the evidence to the error table
+    assert err.count() > 0
+    assert err.where(F.col("text").rlike(r"EMAIL_TOKEN\(")).count() == err.count()
+    # surviving rows reproduce the original text exactly
+    src = spark.read.parquet(input_dir).select("conv_id", "turn_idx", "text")
+    joined = got.alias("g").join(
+        src.alias("s"), ["conv_id", "turn_idx"]
+    ).where(F.col("g.text") != F.col("s.text"))
+    assert joined.count() == 0
+    assert got.count() + err.count() == src.count()
