@@ -28,6 +28,11 @@ each table key under its own schema:
   keys — strictly more capable than the reference, which requires
   --headers); TXT = user ``txt_headers`` (required with a
   ``txt_delimiter``, else the single column ``line``);
+* PARQUET/ORC/AVRO are self-describing: columns from the file
+  footer/header (no row bytes read at discovery), rows conformed to the
+  key's pinned all-string columns by name (present columns stringified,
+  missing null, extras dropped); avro is gated on the spark-avro jar and
+  a jar-less avro key dead-letters instead of wedging the batch;
 * later files of the same key parse under that schema regardless of their
   own format (extra/reordered columns degrade per PERMISSIVE mode,
   exactly the keep-one contract);
@@ -85,7 +90,17 @@ _EXT_FMT = {
     "ndjson": "jsonl",
     "txt": "txt",
     "log": "txt",
+    # self-describing binary formats: schema from the file footer/header
+    # (ExtractColumnNamesTransform.java:75-117 dispatches these too);
+    # avro additionally needs the spark-avro jar (same gate as S9)
+    "parquet": "parquet",
+    "orc": "orc",
+    "avro": "avro",
 }
+
+# formats whose schema lives in the file itself (footer/header read —
+# no bytes of row data scanned at discovery)
+_SELF_DESCRIBING = ("parquet", "orc", "avro")
 
 
 def _fmt_of(path: str) -> "str | None":
@@ -102,8 +117,8 @@ def _fmt_of(path: str) -> "str | None":
 @dataclass
 class DynamicSchemaFileStream:
     """One streaming pipeline over a directory of mixed-schema, mixed-FORMAT
-    files (csv/tsv/jsonl/txt), routing each table key to its own
-    correctly-shaped output (per-key parquet)."""
+    files (csv/tsv/jsonl/txt/parquet/orc/avro), routing each table key to
+    its own correctly-shaped output (per-key parquet)."""
 
     spark: SparkSession
     input_dir: str
@@ -157,6 +172,11 @@ class DynamicSchemaFileStream:
                 return list(self.json_headers)
             # self-describing: keys of the first file's records
             return self.spark.read.json(first_path).columns
+        if fmt in _SELF_DESCRIBING:
+            # footer/header schema read (no row data); avro raises here
+            # when the spark-avro jar is absent -> the caller dead-letters
+            # the key instead of wedging the batch
+            return self.spark.read.format(fmt).load(first_path).columns
         # txt
         if self.txt_delimiter is not None:
             if not self.txt_headers:
@@ -210,6 +230,19 @@ class DynamicSchemaFileStream:
             # by-name matching: pinned columns extracted from each record,
             # missing → null, extra keys dropped (keep-one degradation)
             return self.spark.read.schema(schema).json(paths)
+        if fmt in _SELF_DESCRIBING:
+            # native typed read, then conform to the key's pinned all-string
+            # columns BY NAME: present columns stringified (the reference's
+            # all-STRING degradation, MergeBigQueryRowToDlpRow), missing ->
+            # null, extras dropped — same keep-one contract as jsonl
+            df = self.spark.read.format(fmt).load(paths)
+            have = set(df.columns)
+            return df.select(
+                *[
+                    (F.col(c).cast("string") if c in have else F.lit(None).cast("string")).alias(c)
+                    for c in cols
+                ]
+            )
         lines = self.spark.read.text(paths)
         if self.txt_delimiter is None:
             # whole line into the FIRST pinned column; remaining pinned
@@ -252,15 +285,31 @@ class DynamicSchemaFileStream:
             if _fmt_of(p) is not None:
                 by_key.setdefault(sanitize_key(p), []).append(p)
         for key, paths in sorted(by_key.items()):
-            cols = self.columns_for(key, paths[0], _fmt_of(paths[0]))
-            by_fmt: dict[str, list[str]] = {}
-            for p in paths:
-                by_fmt.setdefault(_fmt_of(p), []).append(p)
-            df = None
-            for fmt, group in sorted(by_fmt.items()):
-                part = self._read_group(group, fmt, cols)
-                df = part if df is None else df.unionByName(part)
-            df = df.withColumn("source_key", F.lit(key))
+            try:
+                # driver-side analysis phase: schema discovery + plan
+                # construction. Failures here are config/format problems
+                # (spark-avro jar absent, unreadable first file) that would
+                # otherwise wedge the checkpointed batch in a replay loop —
+                # route the key's files to the dead-letter table instead.
+                # The WRITE below stays OUTSIDE the guard: an action-time
+                # failure (transient executor loss) must fail the batch and
+                # retry, not silently dead-letter ingestable data.
+                cols = self.columns_for(key, paths[0], _fmt_of(paths[0]))
+                by_fmt: dict[str, list[str]] = {}
+                for p in paths:
+                    by_fmt.setdefault(_fmt_of(p), []).append(p)
+                df = None
+                for fmt, group in sorted(by_fmt.items()):
+                    part = self._read_group(group, fmt, cols)
+                    df = part if df is None else df.unionByName(part)
+                df = df.withColumn("source_key", F.lit(key))
+            except Exception as exc:
+                rows = [(p, f"analysis failure: {exc}"[:500]) for p in paths]
+                ddf = self.spark.createDataFrame(rows, "path string, reason string")
+                IdempotentBatchSink(
+                    os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
+                )(ddf, batch_id)
+                continue
             IdempotentBatchSink(os.path.join(self.output_dir, key))(df, batch_id)
 
     def start(self, trigger: dict | None = None):

@@ -248,3 +248,79 @@ def test_multi_txt_headers_without_delimiter_raise(spark, dirs):
             dirs["ckpt"],
             txt_headers=["u", "v"],
         )
+
+
+def test_self_describing_parquet_and_orc_legs(spark, dirs):
+    """parquet + orc files flow through the SAME stream: schema from the
+    file footer (no headers needed), typed columns stringified to the
+    all-string contract, and a later csv file of the same key parses under
+    the parquet-pinned schema (keep-one across formats)."""
+    import shutil
+
+    # parquet key 'alpha': typed columns (int, string)
+    tmp = dirs["in"] + "_stage"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "num int, name string"
+    ).coalesce(1).write.parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(tmp, part), os.path.join(dirs["in"], "alpha.parquet"))
+    shutil.rmtree(tmp)
+    # orc key 'omega'
+    spark.createDataFrame([(9.5, "z")], "score double, tag string").coalesce(
+        1
+    ).write.orc(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".orc")][0]
+    shutil.copy(os.path.join(tmp, part), os.path.join(dirs["in"], "omega.orc"))
+    shutil.rmtree(tmp)
+
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    job = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()
+    alpha = job.read_table("alpha")
+    assert set(alpha.columns) == {"num", "name", "source_key"}
+    assert alpha.schema["num"].dataType.simpleString() == "string"
+    rows = {(r.num, r.name) for r in alpha.collect()}
+    assert rows == {("1", "a"), ("2", "b")}  # stringified
+    omega = job.read_table("omega")
+    assert [(r.score, r.tag) for r in omega.collect()] == [("9.5", "z")]
+
+    # keep-one across formats: a csv named alpha parses under the
+    # parquet-pinned columns (header row consumed, positions matched)
+    os.makedirs(os.path.join(dirs["in"], "later"))
+    _write(os.path.join(dirs["in"], "later", "alpha.csv"), ["num,name", "3,c"])
+    job2 = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job2.run_to_completion()
+    rows = {(r.num, r.name) for r in job2.read_table("alpha").collect()}
+    assert rows == {("1", "a"), ("2", "b"), ("3", "c")}
+
+
+def test_avro_without_jar_dead_letters_instead_of_wedging(spark, dirs):
+    """An .avro file when the spark-avro jar is absent must NOT wedge the
+    checkpointed batch in a replay loop: the key dead-letters with the
+    analysis failure, and other keys in the same batch still commit."""
+    try:
+        spark.read.format("avro").load(dirs["in"] + "/nope.avro")
+    except Exception as e:
+        jarless = "Failed to find data source" in str(e) or "AVRO" in str(e).upper()
+    else:
+        jarless = False
+    if not jarless:
+        pytest.skip("spark-avro jar present; the jar-less gate is untestable")
+    with open(os.path.join(dirs["in"], "bad.avro"), "wb") as f:
+        f.write(b"Obj\x01fakeavro")
+    _write(os.path.join(dirs["in"], "good.csv"), ["a,b", "1,2"])
+
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    job = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()
+    assert [(r.a, r.b) for r in job.read_table("good").collect()] == [("1", "2")]
+    dead = job.read_table(DynamicSchemaFileStream.DEAD_LETTER_KEY)
+    rows = dead.collect()
+    assert len(rows) == 1 and rows[0].path.endswith("bad.avro")
+    assert "analysis failure" in rows[0].reason
