@@ -776,6 +776,42 @@ def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
 
 
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-density corpus routing (the triage a training-data pipeline runs
+    BEFORE deciding deid-vs-drop): per conversation, total findings across
+    all six transcript detectors, whitespace token count, findings per 100
+    tokens, and the quarantine flag (density > 2.0). One narrow native pass
+    — size(regexp_extract_all) per detector, no explode, no Python — then
+    one partial-aggregated groupBy(conv_id). Full DuckDB value oracle."""
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    tdf = _transcripts(spark, sf_dir)
+    finds = None
+    for name in TRANSCRIPT_DETECTORS:
+        it = resolve(name)
+        n = F.size(F.regexp_extract_all(F.col("text"), F.lit(it.pattern), F.lit(0)))
+        finds = n if finds is None else finds + n
+    per_turn = tdf.select(
+        "conv_id",
+        finds.cast("long").alias("n_findings"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    agg = per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_findings").alias("n_findings"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    density = F.lit(100.0) * F.col("n_findings") / F.col("n_tokens")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_findings",
+        "n_tokens",
+        density.alias("pii_per_100_tokens"),
+        (density > F.lit(2.0)).alias("quarantine"),
+    )
+
+
 def q_deid_text_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-finding transforms INSIDE free text (DLP InfoTypeTransformations
     with computed primitives — functions/findings.py): every EMAIL_ADDRESS
@@ -1027,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_dates": q_deid_dates,
         "deid_conditional": q_deid_conditional,
         "inspect_rules": q_inspect_rules,
+        "pii_density": q_pii_density,
         "deid_text_inline": q_deid_text_inline,
         "text_tokenize_roundtrip": q_text_tokenize_roundtrip,
     }
@@ -1080,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
         "inspect_rules": _inspect_rules_oracle(),
+        "pii_density": _pii_density_oracle(),
         "deid_text_inline": _deid_text_inline_oracle(),
         # identity + pinned-TRUE flags: the Spark side computes the flags
         # from the real tokenized intermediate, so the hash match certifies
@@ -1591,6 +1629,28 @@ def _rebuild_sql(expr: str, pat: str, repl_lambda: str) -> str:
         f" list_append(list_transform(regexp_extract_all({expr}, '{pat}'),"
         f" {repl_lambda}), NULL)),"
         " z -> coalesce(z[1], '') || coalesce(z[2], '')), '')"
+    )
+
+
+def _pii_density_oracle() -> str:
+    from dlp_dataflow_deidentification_spark.functions.infotypes import resolve
+
+    terms = " + ".join(
+        f"len(regexp_extract_all(text, '{resolve(n).pattern.replace(chr(39), chr(39)*2)}'))"
+        for n in TRANSCRIPT_DETECTORS
+    )
+    return (
+        f"{_transcripts_cte()},"
+        f" per_turn AS (SELECT conv_id,"
+        f"   CAST({terms} AS BIGINT) AS n_findings,"
+        f"   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens"
+        f"  FROM transcripts),"
+        f" agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,"
+        f"   sum(n_findings) AS n_findings, sum(n_tokens) AS n_tokens"
+        f"  FROM per_turn GROUP BY conv_id)"
+        f" SELECT conv_id, n_turns, n_findings, n_tokens,"
+        f" 100.0 * n_findings / n_tokens AS pii_per_100_tokens,"
+        f" (100.0 * n_findings / n_tokens) > 2.0 AS quarantine FROM agg"
     )
 
 
