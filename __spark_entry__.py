@@ -1645,12 +1645,18 @@ def _pii_density_oracle() -> str:
         f"   CAST({terms} AS BIGINT) AS n_findings,"
         f"   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens"
         f"  FROM transcripts),"
+        # sum(BIGINT) is HUGEINT in DuckDB (floats through pandas) — CAST
+        # back to BIGINT so stringified values match Spark's longs
         f" agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,"
-        f"   sum(n_findings) AS n_findings, sum(n_tokens) AS n_tokens"
+        f"   CAST(sum(n_findings) AS BIGINT) AS n_findings,"
+        f"   CAST(sum(n_tokens) AS BIGINT) AS n_tokens"
         f"  FROM per_turn GROUP BY conv_id)"
         f" SELECT conv_id, n_turns, n_findings, n_tokens,"
-        f" 100.0 * n_findings / n_tokens AS pii_per_100_tokens,"
-        f" (100.0 * n_findings / n_tokens) > 2.0 AS quarantine FROM agg"
+        # CAST: a bare 100.0 literal is DECIMAL in DuckDB and the division
+        # would come back as DECIMAL — numerically equal but stringified
+        # differently than Spark's double, failing the value hash
+        f" CAST(100.0 AS DOUBLE) * n_findings / n_tokens AS pii_per_100_tokens,"
+        f" (CAST(100.0 AS DOUBLE) * n_findings / n_tokens) > 2.0 AS quarantine FROM agg"
     )
 
 
