@@ -53,6 +53,14 @@ def test_query_matches_oracle(spark, sf_dir, name):
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6)
+    # the DRIVER's actual gate is stringified equality post-canon — dtype
+    # drift between dialects (DuckDB DECIMAL literals / HUGEINT sums vs
+    # Spark double/long) renders '100.0' vs '100' and fails there even when
+    # numerically equal; it must fail HERE first (caught live: pii_density)
+    assert got.astype(str).equals(want.astype(str)), (
+        f"{name}: stringified mismatch — dialect dtype drift; CAST the "
+        "oracle's literals/aggregates to the Spark-side type"
+    )
 
 
 def test_entry_smoke(spark):
