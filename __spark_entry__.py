@@ -776,6 +776,48 @@ def q_fpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "card_pin", "pan", "pin_fmt_ok", "pan_fmt_ok")
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP risk analysis: k-anonymity histogram over customer with
+    quasi-identifiers (c_nationkey, c_mktsegment) — per class SIZE, how
+    many equivalence classes and records have it (KAnonymityHistogramBucket
+    shape). Two hash aggregations, quasi-ids-only shuffle, O(distinct
+    sizes) output."""
+    from dlp_dataflow_deidentification_spark.operators import risk
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return risk.k_anonymity_histogram(cust, ["c_nationkey", "c_mktsegment"])
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP risk analysis: l-diversity per equivalence class — class size +
+    exact distinct count of the sensitive value (account-balance band,
+    floor(c_acctbal/1000)). A class with small l discloses the sensitive
+    band regardless of its k."""
+    from dlp_dataflow_deidentification_spark.operators import risk
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return risk.l_diversity(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)),
+    )
+
+
+def q_numerical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP risk analysis: NumericalStats (min / max / exact interpolated
+    quantiles — F.percentile, the sort-based exact aggregate, not approx)
+    over lineitem quantity per return flag. Integer-valued input keeps the
+    interpolation bit-exact across engines, so the oracle value-checks the
+    quantiles themselves."""
+    from dlp_dataflow_deidentification_spark.operators import risk
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    src = li.select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    return risk.numerical_stats(src, "qty", by=["l_returnflag"])
+
+
 def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-density corpus routing (the triage a training-data pipeline runs
     BEFORE deciding deid-vs-drop): per conversation, total findings across
@@ -1063,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deid_dates": q_deid_dates,
         "deid_conditional": q_deid_conditional,
         "inspect_rules": q_inspect_rules,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "numerical_stats": q_numerical_stats,
         "pii_density": q_pii_density,
         "deid_text_inline": q_deid_text_inline,
         "text_tokenize_roundtrip": q_text_tokenize_roundtrip,
@@ -1117,6 +1162,32 @@ def oracle_sql() -> dict[str, str]:
         "dlp_batches": _dlp_batches_oracle(max_batch_bytes=500),
         "inspect_offsets": _inspect_offsets_oracle(),
         "inspect_rules": _inspect_rules_oracle(),
+        # risk analysis: every count CAST to BIGINT (HUGEINT sums float
+        # through pandas and fail the stringified value hash)
+        "k_anonymity": (
+            "WITH classes AS (SELECT c_nationkey, c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS class_size FROM customer GROUP BY 1, 2)"
+            " SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,"
+            " CAST(sum(class_size) AS BIGINT) AS n_records"
+            " FROM classes GROUP BY class_size"
+        ),
+        "l_diversity": (
+            "SELECT c_nationkey, c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS class_size,"
+            " CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))"
+            "  AS BIGINT) AS l_distinct_sensitive"
+            " FROM customer GROUP BY c_nationkey, c_mktsegment"
+        ),
+        "numerical_stats": (
+            "SELECT l_returnflag,"
+            " min(CAST(l_quantity AS BIGINT)) AS min_value,"
+            " max(CAST(l_quantity AS BIGINT)) AS max_value,"
+            " CAST(count(*) AS BIGINT) AS n_records,"
+            " quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,"
+            " quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS p50,"
+            " quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
         "pii_density": _pii_density_oracle(),
         "deid_text_inline": _deid_text_inline_oracle(),
         # identity + pinned-TRUE flags: the Spark side computes the flags

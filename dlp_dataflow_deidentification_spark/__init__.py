@@ -11,7 +11,8 @@ for the streaming pipelines.
 from .plans.config import DeidTemplate, InspectConfig
 from .operators.deidentify import deidentify, reidentify
 from .operators.inspect import inspect, inspect_offsets, inspection_report
-from .functions import infotypes, transforms
+from .operators import risk
+from .functions import findings, infotypes, transforms
 
 __all__ = [
     "DeidTemplate",
@@ -21,6 +22,8 @@ __all__ = [
     "inspect",
     "inspect_offsets",
     "inspection_report",
+    "risk",
+    "findings",
     "infotypes",
     "transforms",
 ]
