@@ -181,10 +181,23 @@ class StreamingDeidJob:
                 df = df.withColumn("__dead", dead)
             out = deidentify(df, self.template)
         elif self.mode == "inspect":
-            from ..operators.inspect import inspect
+            from ..operators.inspect import inspect, inspect_offsets
 
             ic = self.inspect_config
-            out = inspect(
+            # offset-dependent rules (hotwordRule, excludeInfoTypes,
+            # excludeByHotword) route to the pandas offsets path — it works
+            # in foreachBatch/streaming the same as batch; quote-only
+            # configs stay on the JVM-native path
+            needs_offsets = ic is not None and any(
+                rs.hotwords
+                or any(
+                    ex.exclude_info_types is not None or ex.hotword is not None
+                    for ex in rs.exclusions
+                )
+                for rs in ic.rule_sets
+            )
+            op = inspect_offsets if needs_offsets else inspect
+            out = op(
                 df,
                 ic.detectors if ic is not None else self.template.detectors,
                 list(self.text_columns),

@@ -466,3 +466,53 @@ def test_streaming_inline_tokenize_then_inline_reid_roundtrip(spark, tmp_path, i
     ).where(F.col("g.text") != F.col("s.text"))
     assert joined.count() == 0
     assert got.count() + err.count() == src.count()
+
+
+def test_streaming_inspect_hotword_rules_route_to_offsets_path(spark, tmp_path, input_dir, template):
+    """A ruleSet with a hotwordRule needs offsets — the streaming inspect
+    mode must auto-route to the pandas offsets path (which carries
+    location_start/end) instead of raising; stream ≡ batch."""
+    cfg = dds.InspectConfig.from_dict(
+        {
+            "inspectConfig": {
+                "infoTypes": [{"name": "PHONE_NUMBER"}],
+                "ruleSet": [
+                    {
+                        "infoTypes": [{"name": "PHONE_NUMBER"}],
+                        "rules": [
+                            {
+                                "hotwordRule": {
+                                    "hotwordRegex": {"pattern": "(?i)call"},
+                                    "proximity": {"windowBefore": 12},
+                                    "likelihoodAdjustment": {
+                                        "fixedLikelihood": "VERY_LIKELY"
+                                    },
+                                }
+                            }
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    job = jobs.StreamingDeidJob(
+        spark,
+        template,
+        input_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mode="inspect",
+        inspect_config=cfg,
+    )
+    job.run_to_completion()
+    got = job.sink().read_committed(spark)
+    assert "location_start" in got.columns  # offsets path was taken
+    want = dds.inspect_offsets(
+        spark.read.parquet(input_dir),
+        cfg.detectors,
+        ["text"],
+        rule_sets=cfg.rule_sets,
+    )
+    gd = {r.likelihood: r["count"] for r in got.groupBy("likelihood").count().collect()}
+    wd = {r.likelihood: r["count"] for r in want.groupBy("likelihood").count().collect()}
+    assert gd == wd and "VERY_LIKELY" in gd  # the hotword actually lifted
