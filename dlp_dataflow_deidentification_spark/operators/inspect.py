@@ -134,8 +134,10 @@ def _apply_rules_cell(cell: list, text: str, compiled) -> list:
                 if rx.search(win):
                     if fixed is not None:
                         f["rank"] = fixed
-                    else:
+                    elif rel is not None:
                         f["rank"] = max(_CLAMP_LO, min(f["rank"] + rel, _CLAMP_HI))
+                    # both None is rejected at parse; guard keeps hand-built
+                    # InspectionRuleSet objects from crashing the executor
 
     def _excluded(f):
         for scope, _, excls in compiled:

@@ -232,6 +232,17 @@ class DeidTemplate:
             column at apply time."""
             for t in transformations:
                 dets = [_resolve(i["name"]) for i in t.get("infoTypes", [])]
+                if not dets:
+                    # DLP reads empty infoTypes as "every finding", resolved
+                    # against the request's inspect detectors — a deid
+                    # template here has no ambient detector registry, so the
+                    # empty list would compile to an IDENTITY transform that
+                    # writes raw PII while reporting success. Refuse loudly.
+                    raise ValueError(
+                        "infoTypeTransformations entry with empty infoTypes "
+                        "— list the infoTypes explicitly (this engine has "
+                        "no ambient detector registry to resolve 'all')"
+                    )
                 out.detectors.extend(d for d in dets if d not in out.detectors)
                 prim = t["primitiveTransformation"]
                 if "replaceWithInfoTypeConfig" in prim:
@@ -468,7 +479,18 @@ def _parse_rule_set(rs: dict) -> InspectionRuleSet:
     )
     for rule in rs.get("rules", []):
         if "hotwordRule" in rule:
-            out.hotwords.append(_parse_hotword(rule["hotwordRule"]))
+            h = _parse_hotword(rule["hotwordRule"])
+            if h.fixed_likelihood is None and h.relative_likelihood is None:
+                # a hotwordRule with no likelihoodAdjustment is a no-op (and
+                # crashed at first executor match before this check) — fail
+                # at parse like every other config error. NOTE: the same
+                # _parse_hotword feeds excludeByHotword, where omitting the
+                # adjustment is legitimate (only the window is used).
+                raise ValueError(
+                    "hotwordRule needs a likelihoodAdjustment "
+                    "(fixedLikelihood or relativeLikelihood)"
+                )
+            out.hotwords.append(h)
         elif "exclusionRule" in rule:
             ex = rule["exclusionRule"]
             mt = ex.get("matchingType", "MATCHING_TYPE_FULL_MATCH")

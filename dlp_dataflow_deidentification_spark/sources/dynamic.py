@@ -269,34 +269,57 @@ class DynamicSchemaFileStream:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # tiny driver-side list of file NAMES (≤ maxFilesPerTrigger), not rows
         files = sorted(r.f for r in batch_df.select("f").distinct().collect())
+        # dead-letter rows accumulate across ALL legs of the batch and are
+        # written in ONE sink call at the end — the sink's per-(dir, batch)
+        # idempotency ledger means a second write under the same batch_id
+        # is a no-op, so per-leg writes would silently DROP every
+        # dead-letter after the first (unrecognized extension + a failed
+        # avro key in one batch used to lose the avro files entirely)
+        dead_rows: list[tuple] = []
         # unrecognized extensions → dead-letter table, not a raise: the
         # failed micro-batch would otherwise replay from the checkpoint
         # forever (error-side-output analogue; same pattern as
         # notifications.py's missing-file leg)
-        dead = [p for p in files if _fmt_of(p) is None]
-        if dead:
-            rows = [(p, "unrecognized file extension") for p in dead]
-            ddf = self.spark.createDataFrame(rows, "path string, reason string")
-            IdempotentBatchSink(
-                os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
-            )(ddf, batch_id)
+        dead_rows.extend(
+            (p, "unrecognized file extension") for p in files if _fmt_of(p) is None
+        )
         by_key: dict[str, list[str]] = {}
         for p in files:
             if _fmt_of(p) is not None:
                 by_key.setdefault(sanitize_key(p), []).append(p)
         for key, paths in sorted(by_key.items()):
+            # per-FILE footer/header validation for the self-describing
+            # binary formats (the reference reads every file's header too,
+            # ExtractColumnNamesTransform.java:75-117): a corrupt non-first
+            # file would otherwise first fail at WRITE-ACTION time — outside
+            # any guard, deterministically, wedging the checkpointed batch
+            # in the replay loop this design exists to prevent. Validation
+            # is a driver-side footer read per binary file, bounded by
+            # maxFilesPerTrigger; healthy files of the key still ingest.
+            ok_paths = []
+            for p in paths:
+                fmt = _fmt_of(p)
+                if fmt in _SELF_DESCRIBING:
+                    try:
+                        self.spark.read.format(fmt).load(p).schema
+                    except Exception as exc:
+                        dead_rows.append((p, f"unreadable {fmt} file: {exc}"[:500]))
+                        continue
+                ok_paths.append(p)
+            if not ok_paths:
+                continue
             try:
                 # driver-side analysis phase: schema discovery + plan
                 # construction. Failures here are config/format problems
-                # (spark-avro jar absent, unreadable first file) that would
+                # (malformed first file, bad headers config) that would
                 # otherwise wedge the checkpointed batch in a replay loop —
                 # route the key's files to the dead-letter table instead.
                 # The WRITE below stays OUTSIDE the guard: an action-time
                 # failure (transient executor loss) must fail the batch and
                 # retry, not silently dead-letter ingestable data.
-                cols = self.columns_for(key, paths[0], _fmt_of(paths[0]))
+                cols = self.columns_for(key, ok_paths[0], _fmt_of(ok_paths[0]))
                 by_fmt: dict[str, list[str]] = {}
-                for p in paths:
+                for p in ok_paths:
                     by_fmt.setdefault(_fmt_of(p), []).append(p)
                 df = None
                 for fmt, group in sorted(by_fmt.items()):
@@ -304,13 +327,18 @@ class DynamicSchemaFileStream:
                     df = part if df is None else df.unionByName(part)
                 df = df.withColumn("source_key", F.lit(key))
             except Exception as exc:
-                rows = [(p, f"analysis failure: {exc}"[:500]) for p in paths]
-                ddf = self.spark.createDataFrame(rows, "path string, reason string")
-                IdempotentBatchSink(
-                    os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
-                )(ddf, batch_id)
+                dead_rows.extend(
+                    (p, f"analysis failure: {exc}"[:500]) for p in ok_paths
+                )
                 continue
             IdempotentBatchSink(os.path.join(self.output_dir, key))(df, batch_id)
+        if dead_rows:
+            ddf = self.spark.createDataFrame(
+                dead_rows, "path string, reason string"
+            )
+            IdempotentBatchSink(
+                os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
+            )(ddf, batch_id)
 
     def start(self, trigger: dict | None = None):
         """Discovery stream: a ``binaryFile`` readStream gives exactly-once

@@ -323,4 +323,55 @@ def test_avro_without_jar_dead_letters_instead_of_wedging(spark, dirs):
     dead = job.read_table(DynamicSchemaFileStream.DEAD_LETTER_KEY)
     rows = dead.collect()
     assert len(rows) == 1 and rows[0].path.endswith("bad.avro")
-    assert "analysis failure" in rows[0].reason
+    assert "unreadable avro" in rows[0].reason or "analysis failure" in rows[0].reason
+
+
+def test_all_dead_letters_in_one_batch_are_recorded(spark, dirs):
+    """Multiple dead-letter legs in ONE micro-batch must all land: the sink
+    is idempotent per (dir, batch_id), so per-leg writes would silently
+    drop every dead-letter after the first (regression: an unrecognized
+    extension plus a failed key in the same batch lost the second)."""
+    _write(os.path.join(dirs["in"], "notes.bak"), ["junk"])
+    _write(os.path.join(dirs["in"], "junk.xyz"), ["junk"])
+    # a corrupt parquet key fails validation in the same batch
+    with open(os.path.join(dirs["in"], "broken.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet footer")
+    _write(os.path.join(dirs["in"], "good.csv"), ["a,b", "1,2"])
+
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    job = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()
+    assert [(r.a, r.b) for r in job.read_table("good").collect()] == [("1", "2")]
+    dead = {os.path.basename(r.path): r.reason for r in job.read_table(
+        DynamicSchemaFileStream.DEAD_LETTER_KEY).collect()}
+    assert set(dead) == {"notes.bak", "junk.xyz", "broken.parquet"}
+
+
+def test_corrupt_nonfirst_binary_file_dead_letters_healthy_sibling_ingests(spark, dirs):
+    """A corrupt parquet file arriving AFTER a healthy one of the same key
+    must dead-letter just that file — not wedge the checkpointed batch in a
+    deterministic write-action replay loop — and the healthy file's rows
+    still commit."""
+    import shutil
+
+    tmp = dirs["in"] + "_stage"
+    spark.createDataFrame([(1, "a")], "num int, name string").coalesce(1).write.parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(tmp, part), os.path.join(dirs["in"], "alpha.parquet"))
+    shutil.rmtree(tmp)
+    os.makedirs(os.path.join(dirs["in"], "later"))
+    with open(os.path.join(dirs["in"], "later", "alpha.parquet"), "wb") as f:
+        f.write(b"PAR1 truncated garbage")
+
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    job = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()
+    assert {(r.num, r.name) for r in job.read_table("alpha").collect()} == {("1", "a")}
+    dead = job.read_table(DynamicSchemaFileStream.DEAD_LETTER_KEY).collect()
+    assert len(dead) == 1 and "unreadable parquet" in dead[0].reason

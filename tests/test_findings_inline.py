@@ -228,3 +228,20 @@ def test_template_inline_deterministic_requires_surrogate():
     }
     with pytest.raises(ValueError, match="surrogateInfoType"):
         dds.DeidTemplate.from_dict(doc, crypto_key=KEY)
+
+
+def test_empty_infotypes_in_transformation_refuses_identity_noop():
+    # DLP reads empty infoTypes as "every finding" via the request's
+    # inspect detectors; with no ambient registry it would compile to an
+    # IDENTITY transform writing raw PII — must refuse at from_dict
+    doc = {
+        "deidentifyConfig": {
+            "infoTypeTransformations": {
+                "transformations": [
+                    {"primitiveTransformation": {"characterMaskConfig": {}}}
+                ]
+            }
+        }
+    }
+    with pytest.raises(ValueError, match="empty infoTypes"):
+        dds.DeidTemplate.from_dict(doc)

@@ -288,3 +288,21 @@ def test_rules_cell_python_oracle_cross_check(spark):
                     continue
                 want.append((i, name, m.group(0), lk, m.start()))
     assert got == sorted(want)
+
+
+def test_hotword_rule_without_adjustment_fails_at_parse():
+    # a no-op hotwordRule used to compile and then crash (rank + None) deep
+    # in the executor pandas UDF at first match — must fail at from_dict
+    with pytest.raises(ValueError, match="likelihoodAdjustment"):
+        InspectConfig.from_dict(
+            {"ruleSet": [{"rules": [{"hotwordRule": {
+                "hotwordRegex": {"pattern": "ctx"},
+                "proximity": {"windowBefore": 10}}}]}]}
+        )
+    # excludeByHotword legitimately has no adjustment — must still parse
+    cfg = InspectConfig.from_dict(
+        {"ruleSet": [{"rules": [{"exclusionRule": {
+            "excludeByHotword": {"hotwordRegex": {"pattern": "ctx"}},
+            "matchingType": "MATCHING_TYPE_PARTIAL_MATCH"}}]}]}
+    )
+    assert cfg.rule_sets[0].exclusions[0].hotword is not None
