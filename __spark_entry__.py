@@ -78,13 +78,32 @@ SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Fan a single-file input out across the full core count (guide §2.5
+    "input skew" / §6): the driver's test tables are ONE parquet file with
+    one row group each, so every scan+map stage otherwise runs in a single
+    task regardless of cluster size (measured: cosine_topk 42 s wall at 44
+    CPU-s — one core busy). One deterministic hash exchange on the table's
+    unique key (explicit partition count, so AQE cannot coalesce it back to
+    one partition; hash-by-unique-key avoids keyless repartition's
+    sort-before-repartition pass) makes everything downstream parallel. At
+    100 TB inputs arrive as many splittable files and this exchange is
+    dropped at the source layout level; partition count follows
+    defaultParallelism, not a constant."""
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    _spread(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id"
+    ).createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
 
 
 def _cards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
+    _spread(
+        spark, spark.read.parquet(f"{sf_dir}/customer.parquet"), "c_custkey"
+    ).createOrReplaceTempView("customer")
     return spark.sql(CARDS_SQL)
 
 
@@ -218,7 +237,9 @@ def q_windowed_infotype_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    _spread(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    ).createOrReplaceTempView("documents")
     return spark.sql(DOCS_SQL)
 
 
@@ -279,7 +300,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -294,7 +315,7 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     two implementations are driver-proven value-identical."""
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     qs = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -307,7 +328,9 @@ def _ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     query v is v + c_k·reverse(v) with c_k = 0.02k (sims ≈ 0.9996…0.984,
     all far above the ~0.4 max random-pair sim). Deterministic double-
     precision arithmetic reproduced bit-identically in the DuckDB oracle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     qs = emb.filter(F.col("vec_id") % 100 == 0)
@@ -413,7 +436,9 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes the just-below-threshold pairs."""
     from dlp_dataflow_deidentification_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     # F.lit(0.05)*k as a double column is bit-identical to python 0.05*k
@@ -441,7 +466,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.functions import text as T
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -694,7 +719,9 @@ def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date_shift_basis="md5"`` selects the portable PRF so the DuckDB oracle
     recomputes the exact shifted timestamps (full value oracle, not
     rows-only); the engine default stays xxhash64 (codegen'd, faster)."""
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _spread(
+        spark, spark.read.parquet(os.path.join(sf_dir, "orders.parquet")), "o_orderkey"
+    )
     src = orders.select(
         "o_orderkey",
         "o_custkey",
@@ -1049,7 +1076,9 @@ def q_deid_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     (date_shift_basis="md5") so the DuckDB oracle recomputes exact values.
     The whole plan stays one native filter + one narrow projection — no
     Python, no shuffle."""
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = _spread(
+        spark, spark.read.parquet(os.path.join(sf_dir, "orders.parquet")), "o_orderkey"
+    )
     src = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey", "o_orderpriority"
     )

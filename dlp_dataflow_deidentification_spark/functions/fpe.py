@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -82,6 +83,16 @@ class FF1:
         self.minlen = max(2, math.ceil(math.log(100, self.radix)))
         self._key = key
         self._ecb = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        self._setup_cache: dict = {}
+        # int(s, radix)/format fast path when the alphabet is a prefix of the
+        # standard base-36 digit set (either case); None → per-char loops
+        std = "0123456789abcdefghijklmnopqrstuvwxyz"[: self.radix]
+        if self.radix <= 36 and self.alphabet == std:
+            self._fast_case = "lower"
+        elif self.radix <= 36 and self.alphabet == std.upper():
+            self._fast_case = "upper"
+        else:
+            self._fast_case = None
 
     # -- numeral-string helpers (NUM_radix / STR_m_radix) -----------------
     def _num(self, s: str) -> int:
@@ -98,10 +109,16 @@ class FF1:
         return "".join(reversed(out))
 
     def _prf(self, data: bytes) -> bytes:
-        """CBC-MAC under K (zero IV): the last block of one CBC pass — one
-        C call per PRF invocation regardless of block count."""
-        enc = Cipher(algorithms.AES(self._key), modes.CBC(_ZERO_IV)).encryptor()
-        return enc.update(data)[-16:]
+        """CBC-MAC under K (zero IV), via the one long-lived ECB encryptor:
+        x = E(x ⊕ block) per 16-byte block. Identical output to a CBC pass
+        (CBC with zero IV IS this chain) without constructing a fresh
+        ``Cipher`` object per call — the ctor dominated the old per-call
+        cost (10 PRF calls per encrypted value)."""
+        x = b"\x00" * 16
+        for off in range(0, len(data), 16):
+            blk = data[off : off + 16]
+            x = self._ecb.update(bytes(a ^ b for a, b in zip(x, blk)))
+        return x
 
     def conforms(self, s: str) -> bool:
         return (
@@ -110,6 +127,10 @@ class FF1:
         )
 
     def _setup(self, n: int, v: int, t: int):
+        key = (n, v, t)
+        hit = self._setup_cache.get(key)
+        if hit is not None:
+            return hit
         b = (math.ceil(v * math.log2(self.radix)) + 7) // 8
         d = 4 * ((b + 3) // 4) + 4
         p = bytes(
@@ -118,6 +139,7 @@ class FF1:
             + [10, n // 2 % 256]
         ) + n.to_bytes(4, "big") + t.to_bytes(4, "big")
         pad = (-t - b - 1) % 16
+        self._setup_cache[key] = (b, d, p, pad)
         return b, d, p, pad
 
     def _s_block(self, r: bytes, d: int) -> int:
@@ -161,6 +183,97 @@ class FF1:
             bstr, a = a, self._str(c, m)
         return a + bstr
 
+    # -- batched forms (bit-identical to encrypt/decrypt) ------------------
+
+    def _str_fast(self, x: int, m: int) -> str:
+        r = self.radix
+        if self._fast_case == "lower":
+            if r == 10:
+                return f"{x:0{m}d}"
+            if r == 16:
+                return f"{x:0{m}x}"
+            return np.base_repr(x, r).lower().rjust(m, "0")
+        if r == 16:
+            return f"{x:0{m}X}"
+        return np.base_repr(x, r).rjust(m, "0")
+
+    def _feistel_batch(self, vals, tweaks, encrypt: bool):
+        """Vectorized Feistel for ONE (value-length, tweak-length) group of
+        conforming values. Exploits two structural facts: the CBC-MAC's
+        first block P is group-constant (its chained cipher value E(P) is
+        computed once), and every later chain stage is x = E(x ⊕ q_block) —
+        ECB over independent 16-byte blocks, so the whole batch goes through
+        ONE C call per stage per round. Halves live as uint64 (guarded:
+        radix^half ≤ 2^62 and S-block width d ≤ 8 bytes, else the caller
+        falls back to the scalar path). Bit-identical to encrypt()/decrypt()
+        — same byte layout, same modular arithmetic — pinned by
+        tests against the scalar NIST-vector-pinned implementation."""
+        n = len(vals[0])
+        u = n // 2
+        v = n - u
+        t = len(tweaks[0]) if tweaks else 0
+        b, d, p, pad = self._setup(n, v, t)
+        if (
+            self._fast_case is None
+            or d > 8
+            or self.radix**u > (1 << 62)
+            or self.radix**v > (1 << 62)
+        ):
+            return None
+        R = len(vals)
+        radix = self.radix
+        A = np.fromiter((int(x[:u], radix) for x in vals), dtype=np.uint64, count=R)
+        B = np.fromiter((int(x[u:], radix) for x in vals), dtype=np.uint64, count=R)
+        mod_u = np.uint64(radix**u)
+        mod_v = np.uint64(radix**v)
+        qlen = t + pad + 1 + b
+        Q = np.zeros((R, qlen), dtype=np.uint8)
+        if t:
+            Q[:, :t] = np.frombuffer(b"".join(tweaks), dtype=np.uint8).reshape(R, t)
+        ipos = t + pad
+        c0 = np.frombuffer(self._ecb.update(p), dtype=np.uint8)
+        shift = np.uint64(8 * (8 - d))
+        for i in (range(10) if encrypt else range(9, -1, -1)):
+            src = B if encrypt else A
+            Q[:, ipos] = i
+            Q[:, qlen - b :] = src.astype(">u8").view(np.uint8).reshape(R, 8)[:, 8 - b :]
+            X = np.broadcast_to(c0, (R, 16))
+            for k in range(0, qlen, 16):
+                X = np.frombuffer(
+                    self._ecb.update((X ^ Q[:, k : k + 16]).tobytes()), dtype=np.uint8
+                ).reshape(R, 16)
+            y = X[:, :8].copy().view(">u8").reshape(R) >> shift
+            mod = mod_u if i % 2 == 0 else mod_v
+            if encrypt:
+                A, B = B, (A + y % mod) % mod
+            else:
+                A, B = (B + (mod - y % mod)) % mod, A
+        return [
+            self._str_fast(int(A[j]), u) + self._str_fast(int(B[j]), v)
+            for j in range(R)
+        ]
+
+    def codec_batch(self, vals, tweaks, encrypt: bool):
+        """Batch encrypt/decrypt of CONFORMING numeral strings with per-value
+        byte tweaks; output order matches input. Groups by (value length,
+        tweak length) — the only shape parameters of the Feistel byte layout
+        — vectorizing each group and falling back to the scalar path for
+        shapes outside the uint64 envelope (or singleton groups)."""
+        groups: dict = {}
+        for j, (x, tw) in enumerate(zip(vals, tweaks)):
+            groups.setdefault((len(x), len(tw)), []).append(j)
+        out: list = [None] * len(vals)
+        fn = self.encrypt if encrypt else self.decrypt
+        for idxs in groups.values():
+            gv = [vals[j] for j in idxs]
+            gt = [tweaks[j] for j in idxs]
+            res = self._feistel_batch(gv, gt, encrypt) if len(idxs) > 1 else None
+            if res is None:
+                res = [fn(x, tw) for x, tw in zip(gv, gt)]
+            for j, r in zip(idxs, res):
+                out[j] = r
+        return out
+
 
 def derive_fpe_key(crypto_key: str) -> bytes:
     """32-byte AES-256 key from the template's crypto key string — same
@@ -187,22 +300,44 @@ def _codec(
 
     def _one_series(s: pd.Series, tw: "pd.Series | None") -> pd.Series:
         ff1 = FF1(key, alphabet)
-
-        def one(v, ctx):
+        vals = s.tolist()
+        ctxs = tw.tolist() if tw is not None else None
+        out: list = [None] * len(vals)
+        # per-row branching (envelope/conforms/passthrough) stays row-wise —
+        # it is cheap; the Feistel work is collected and run through the
+        # vectorized batch codec (one group per value/tweak shape)
+        work_i: list = []
+        work_v: list = []
+        work_t: list = []
+        for j, v in enumerate(vals):
             if v is None:
-                return None
+                continue
             v = str(v)
+            ctx = None if ctxs is None else ctxs[j]
             tweak = b"" if ctx is None else str(ctx).encode()
             if not encrypt and env_prefix:
                 # envelope: TYPE(len):token — foreign/plain cells pass through
                 if not v.startswith(env_prefix):
-                    return v
-                body = v.split(":", 1)[1]
-                if not ff1.conforms(body):
+                    out[j] = v
+                    continue
+                head, sep, body = v.partition(":")
+                # corrupt envelope: no colon, or the declared (len) field
+                # disagreeing with the body, or a non-conforming body —
+                # strict raises, tolerant nulls the cell (never IndexError)
+                declared = head[len(env_prefix) : -1] if head.endswith(")") else ""
+                if (
+                    not sep
+                    or not declared.isdigit()
+                    or int(declared) != len(body)
+                    or not ff1.conforms(body)
+                ):
                     if strict:
                         raise ValueError(f"non-conforming FF1 token: {v!r}")
-                    return None
-                return ff1.decrypt(body, tweak)
+                    continue
+                work_i.append(j)
+                work_v.append(body)
+                work_t.append(tweak)
+                continue
             if not ff1.conforms(v):
                 if strict and encrypt:
                     raise ValueError(
@@ -210,17 +345,19 @@ def _codec(
                     )
                 # FPE keeps non-domain values verbatim (passthrough) so a
                 # later reid pass is symmetric; DLP itself errors the request
-                return v
-            out = ff1.encrypt(v, tweak) if encrypt else ff1.decrypt(v, tweak)
-            if encrypt and env_prefix:
-                return f"{env_prefix}{len(out)}):{out}"
-            return out
-
-        if tw is None:
-            return s.map(lambda v: one(v, None))
-        return pd.Series(
-            [one(v, c) for v, c in zip(s, tw)], index=s.index, dtype=object
-        )
+                out[j] = v
+                continue
+            work_i.append(j)
+            work_v.append(v)
+            work_t.append(tweak)
+        toks = ff1.codec_batch(work_v, work_t, encrypt)
+        if encrypt and env_prefix:
+            for j, tk in zip(work_i, toks):
+                out[j] = f"{env_prefix}{len(tk)}):{tk}"
+        else:
+            for j, tk in zip(work_i, toks):
+                out[j] = tk
+        return pd.Series(out, index=s.index, dtype=object)
 
     if context is not None:
 

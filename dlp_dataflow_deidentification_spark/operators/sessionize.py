@@ -53,13 +53,34 @@ def session_stats(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def time_bucket_keys(
+    agent_ts_col: str, tool_ts_col: str, max_lag_seconds: int
+) -> tuple[Column, Column]:
+    """Time-bucket join keys for an interval equi-join (guide §2.5: AQE
+    cannot split a single enormous key, so a hot conversation makes the
+    plain conv_id join one quadratic straggler task). Bucket width =
+    ``max_lag_seconds``: every matching pair has
+    tool_ts ∈ [agent_ts, agent_ts + L], hence
+    bucket(tool) ∈ {bucket(agent), bucket(agent)+1} — exploding the agent
+    side into those two buckets and equi-joining on (conv_id, bucket) is
+    EXACTLY equivalent to the range join (each tool row owns one bucket,
+    so no pair can match twice) while a hot key spreads over
+    span/max_lag bucket-keys. Returns (agent-side 2-bucket array to
+    explode, tool-side bucket)."""
+    ab = F.floor(epoch_seconds(F.col(agent_ts_col)) / F.lit(max_lag_seconds)).cast("long")
+    tb = F.floor(epoch_seconds(F.col(tool_ts_col)) / F.lit(max_lag_seconds)).cast("long")
+    return F.array(ab, ab + F.lit(1)), tb
+
+
 def agent_tool_correlate(df: DataFrame, max_lag_seconds: int = 120) -> DataFrame:
     """Correlate each agent turn with tool turns that follow it within
     ``max_lag_seconds`` in the same conversation (batch analogue of the
     north_rule stream-stream join; streaming form in streaming/joins.py).
 
-    Equi-join on conv_id + time-range predicate → sort-merge join on the
-    conversation key; a single key-shuffle each side, skew-safe via AQE.
+    Equi-join on (conv_id, time bucket) + the exact time-range predicate:
+    the bucket key (``time_bucket_keys``) splits a skewed conversation
+    across its time span, so the per-task work is bounded by rows-per-
+    (conv, max_lag window) instead of rows-per-conversation squared.
     """
     agents = df.filter(F.col("role") == "agent").select(
         "conv_id",
@@ -72,8 +93,12 @@ def agent_tool_correlate(df: DataFrame, max_lag_seconds: int = 120) -> DataFrame
         F.col("tool").alias("tool_name"),
         F.col("ts").alias("tool_ts"),
     )
+    a_buckets, t_bucket = time_bucket_keys("agent_ts", "tool_ts", max_lag_seconds)
+    agents = agents.withColumn("__bkt", F.explode(a_buckets))
+    tools = tools.withColumn("__bkt", t_bucket)
     cond = (
         (F.col("conv_id") == F.col("tool_conv_id"))
+        & (agents["__bkt"] == tools["__bkt"])
         & (F.col("tool_ts") >= F.col("agent_ts"))
         & (
             F.col("tool_ts")

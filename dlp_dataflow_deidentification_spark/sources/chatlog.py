@@ -35,8 +35,16 @@ def parse_chatlog(
     # conversations are never silently truncated
     texts = F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0)))
     turns = F.arrays_zip(roles.alias("role"), texts.alias("text"))
+    # materialize conv_id/turns BELOW the explode: in the naive
+    # select(conv_id_expr, posexplode(turns)) the analyzer evaluates every
+    # non-generator expression in the Project ABOVE the Generate, so the
+    # whole-line trim+regex behind conv_id re-ran once per EXPLODED TURN —
+    # quadratic in line length (measured 129 s on a 61k-turn 3.7 MB line at
+    # sf1.0; linear after this two-step projection, which CollapseProject
+    # cannot merge across the Generate)
+    pre = df.select(conv_id.alias("conv_id"), turns.alias("__turns"))
     out = (
-        df.select(conv_id.alias("conv_id"), F.posexplode(turns).alias("turn_idx", "t"))
+        pre.select("conv_id", F.posexplode("__turns").alias("turn_idx", "t"))
         .select(
             "conv_id",
             F.col("turn_idx").cast("int"),

@@ -85,9 +85,25 @@ def agent_tool_hourly_stats(
     DataFrame for the stream≡batch equality test.
     """
     agents, tools = _agent_tool_sides(transcripts, watermark)
-    joined = agents.join(tools, _join_cond(max_lag_seconds), "inner").select(
-        "conv_id", "tool_name", "tool_ts"
-    )
+    if transcripts.isStreaming:
+        joined = agents.join(tools, _join_cond(max_lag_seconds), "inner")
+    else:
+        # batch form: (conv_id, time-bucket) equi-join — exactly equivalent
+        # to the range join (sessionize.time_bucket_keys proof) but a hot
+        # conversation spreads over its time span instead of one quadratic
+        # task. The streaming side keeps the plain range join: watermark
+        # state eviction is derived from the time-range condition.
+        from ..operators.sessionize import time_bucket_keys
+
+        a_buckets, t_bucket = time_bucket_keys("agent_ts", "tool_ts", max_lag_seconds)
+        agents_b = agents.withColumn("__bkt", F.explode(a_buckets))
+        tools_b = tools.withColumn("__bkt", t_bucket)
+        joined = agents_b.join(
+            tools_b,
+            (agents_b["__bkt"] == tools_b["__bkt"]) & _join_cond(max_lag_seconds),
+            "inner",
+        )
+    joined = joined.select("conv_id", "tool_name", "tool_ts")
     return (
         joined.groupBy(F.window("tool_ts", window).alias("w"), "tool_name")
         .agg(F.count(F.lit(1)).alias("n_calls"))

@@ -589,6 +589,54 @@ def test_ff1_nist_sample_vectors(key, alphabet, tweak_hex, pt, ct):
     assert f.decrypt(ct, tweak) == pt
 
 
+def test_ff1_batch_codec_equals_scalar():
+    """codec_batch (the vectorized Feistel used by the pandas UDF) is
+    bit-identical to the NIST-vector-pinned scalar encrypt/decrypt across
+    alphabets, value lengths (incl. past the uint64 fast-path envelope,
+    which must fall back) and mixed per-row tweaks."""
+    import random
+
+    from dlp_dataflow_deidentification_spark.functions.fpe import FF1
+
+    rnd = random.Random(11)
+    for alphabet in ("NUMERIC", "HEXADECIMAL", LOWER36, "ALPHA_NUMERIC"):
+        f = FF1(NIST_KEY256, alphabet)
+        vals, tweaks = [], []
+        for _ in range(200):
+            n = rnd.choice([f.minlen, 4, 7, 16, 19, 25, 40])
+            vals.append("".join(rnd.choice(f.alphabet) for _ in range(n)))
+            tweaks.append(rnd.choice([b"", b"ctx", b"9", b"a-much-longer-tweak"]))
+        enc = f.codec_batch(vals, tweaks, True)
+        assert enc == [f.encrypt(v, t) for v, t in zip(vals, tweaks)]
+        assert f.codec_batch(enc, tweaks, False) == vals
+
+
+def test_ff1_reidentify_corrupt_envelope_tolerant_and_strict(spark):
+    """A truncated/corrupt envelope (no colon, or declared length not
+    matching the body) must not crash the task: tolerant mode nulls the
+    cell, strict mode raises a ValueError."""
+    from dlp_dataflow_deidentification_spark.functions import fpe
+
+    key = fpe.derive_fpe_key(KEY16)
+    corrupt = ["PAN_TOKEN(16", "PAN_TOKEN(5):123456", "PAN_TOKEN(x):123456"]
+    df = col_of(spark, corrupt + ["plain-pass-through"])
+    rows = df.select(
+        "v",
+        fpe.ff1_reidentify(
+            F.col("v"), key, surrogate_info_type="PAN_TOKEN", strict=False
+        ).alias("r"),
+    ).collect()
+    got = {r["v"]: r["r"] for r in rows}
+    assert all(got[c] is None for c in corrupt)
+    assert got["plain-pass-through"] == "plain-pass-through"
+    with pytest.raises(Exception, match="non-conforming FF1 token"):
+        col_of(spark, ["PAN_TOKEN(16"]).select(
+            fpe.ff1_reidentify(
+                F.col("v"), key, surrogate_info_type="PAN_TOKEN", strict=True
+            )
+        ).collect()
+
+
 def test_ff1_tokenize_format_preserving_and_roundtrip(spark):
     """Token has the same length/alphabet as the input; non-domain values
     (wrong chars / too short) pass through verbatim; roundtrip is exact."""
