@@ -93,10 +93,18 @@ def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _spread(
-        spark, spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id"
-    ).createOrReplaceTempView("events")
+def _transcripts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """``spread=False`` for queries whose plan keeps the transcript view's
+    conv_id ROW_NUMBER window (they reference turn_idx): that window's own
+    exchange already redistributes the rows, and a second fan-out exchange
+    in front of it doubles busy CPU for nothing (measured on inspect_limits:
+    3.1 s / 24 CPU-s without vs 4.8 s / 47 CPU-s with). Queries that never
+    touch turn_idx get the window pruned away, leaving the single-row-group
+    serial scan as the only stage — those need the fan-out."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if spread:
+        df = _spread(spark, df, "event_id")
+    df.createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
 
 
@@ -127,7 +135,7 @@ def _transcripts_cte() -> str:
 
 
 def q_deid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     template = dds.DeidTemplate.from_file(
         os.path.join(HERE, "configs/deid_transcripts.json"), crypto_key=KEY
     )
@@ -142,7 +150,7 @@ def q_deid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_inspect_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     return dds.inspect(
         tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
     ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
@@ -194,11 +202,11 @@ def q_crypto_roundtrip_siv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sess.session_stats(_transcripts(spark, sf_dir), gap_seconds=1800)
+    return sess.session_stats(_transcripts(spark, sf_dir, spread=False), gap_seconds=1800)
 
 
 def q_agent_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sess.agent_tool_correlate(_transcripts(spark, sf_dir), max_lag_seconds=21600)
+    return sess.agent_tool_correlate(_transcripts(spark, sf_dir, spread=False), max_lag_seconds=21600)
 
 
 def q_tool_call_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,7 +565,7 @@ def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the expected turn set computed directly from the transcripts."""
     from dlp_dataflow_deidentification_spark.sources.chatlog import parse_chatlog
 
-    tdf = _transcripts(spark, sf_dir).filter(F.col("role").isin("agent", "customer"))
+    tdf = _transcripts(spark, sf_dir, spread=False).filter(F.col("role").isin("agent", "customer"))
     num_id = F.when(F.col("conv_id") == "conv-hot", F.lit("9999")).otherwise(
         F.substring("conv_id", 6, 10)
     )
@@ -597,7 +605,7 @@ def q_inspect_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
 
     det = dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     return dds.inspect(
         tdf, [det], ["text"], id_columns=["conv_id", "turn_idx"]
     ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
@@ -615,7 +623,7 @@ def q_inspect_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
 
     dets = [dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")] + TRANSCRIPT_DETECTORS
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     return dds.inspect(
         tdf,
         dets,
@@ -636,7 +644,7 @@ def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-oracle coverage."""
     from dlp_dataflow_deidentification_spark.streaming import stateful
 
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     # n_buckets: super-key batching — pack_greedy still runs per key, but
     # one pandas dispatch per bucket instead of per conversation; output
     # identical to per-key mode (test_bucketed_batched_requests_equals_per_key)
@@ -661,7 +669,7 @@ def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Findings with codepoint offsets (Arrow pandas-UDF path). The DuckDB
     oracle derives match offsets from cumulative segment/match lengths of
     regexp_split + regexp_extract_all (see _inspect_offsets_oracle)."""
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     out = dds.inspect_offsets(
         tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
     )
@@ -918,7 +926,7 @@ def q_deid_text_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline replacement semantics are value-checked byte-for-byte."""
     from dlp_dataflow_deidentification_spark.functions import findings as fnd
 
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     return tdf.select(
         "conv_id",
         "turn_idx",
@@ -949,7 +957,7 @@ def q_text_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = derive_siv_key(KEY)
     email_pat = resolve("EMAIL_ADDRESS").pattern
-    tdf = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    tdf = _transcripts(spark, sf_dir, spread=False).select("conv_id", "turn_idx", "text")
     tok = tdf.withColumn(
         "tok",
         fnd.transform_findings(
@@ -1015,7 +1023,7 @@ def q_inspect_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         }
     )
-    tdf = _transcripts(spark, sf_dir)
+    tdf = _transcripts(spark, sf_dir, spread=False)
     out = dds.inspect_offsets(
         tdf,
         cfg.detectors,

@@ -528,7 +528,13 @@ def ivf_index_write(
         _as_double(F.col(vec_col)).alias("cv"),
         _cell_of(_as_double(F.col(vec_col)), cents).alias("cell"),
     )
-    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # one writer task per cell: without this, every upstream partition
+    # writes a sliver into every cell directory (partitions x n_cells tiny
+    # files — 256 at the bench shape), slowing both the write and every
+    # later probe scan (guide §6: small-files). Row content is unchanged.
+    cells.repartition(n_cells, F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i + 1, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
