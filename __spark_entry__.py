@@ -95,12 +95,18 @@ def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
 
 def _transcripts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """``spread=False`` for queries whose plan keeps the transcript view's
-    conv_id ROW_NUMBER window (they reference turn_idx): that window's own
-    exchange already redistributes the rows, and a second fan-out exchange
-    in front of it doubles busy CPU for nothing (measured on inspect_limits:
-    3.1 s / 24 CPU-s without vs 4.8 s / 47 CPU-s with). Queries that never
-    touch turn_idx get the window pruned away, leaving the single-row-group
-    serial scan as the only stage — those need the fan-out."""
+    conv_id ROW_NUMBER window (they reference turn_idx) AND whose post-window
+    work is light: that window's own exchange already redistributes the rows,
+    and a second fan-out exchange in front of it doubles busy CPU for nothing
+    (measured on inspect_limits: 3.1 s / 24 CPU-s without vs 4.8 s / 47 CPU-s
+    with). Queries that never touch turn_idx get the window pruned away,
+    leaving the single-row-group serial scan as the only stage — those need
+    the fan-out. Measured exception kept on spread=True: the offsets/rules/
+    inline-UDF/chatlog queries, whose expensive Arrow or fold stage runs
+    AFTER the window exchange — AQE coalesces that ENSURE_REQUIREMENTS
+    exchange to ~4 partitions (64 MB advisory), capping the costly stage at
+    ~4 cores, while the explicit fan-out keeps it at full width (A/B:
+    text_tokenize 5.0 s without vs 2.0 s with)."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if spread:
         df = _spread(spark, df, "event_id")
@@ -565,7 +571,7 @@ def q_chatlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the expected turn set computed directly from the transcripts."""
     from dlp_dataflow_deidentification_spark.sources.chatlog import parse_chatlog
 
-    tdf = _transcripts(spark, sf_dir, spread=False).filter(F.col("role").isin("agent", "customer"))
+    tdf = _transcripts(spark, sf_dir).filter(F.col("role").isin("agent", "customer"))
     num_id = F.when(F.col("conv_id") == "conv-hot", F.lit("9999")).otherwise(
         F.substring("conv_id", 6, 10)
     )
@@ -669,7 +675,7 @@ def q_inspect_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Findings with codepoint offsets (Arrow pandas-UDF path). The DuckDB
     oracle derives match offsets from cumulative segment/match lengths of
     regexp_split + regexp_extract_all (see _inspect_offsets_oracle)."""
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir)
     out = dds.inspect_offsets(
         tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
     )
@@ -926,7 +932,7 @@ def q_deid_text_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline replacement semantics are value-checked byte-for-byte."""
     from dlp_dataflow_deidentification_spark.functions import findings as fnd
 
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir)
     return tdf.select(
         "conv_id",
         "turn_idx",
@@ -957,7 +963,7 @@ def q_text_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = derive_siv_key(KEY)
     email_pat = resolve("EMAIL_ADDRESS").pattern
-    tdf = _transcripts(spark, sf_dir, spread=False).select("conv_id", "turn_idx", "text")
+    tdf = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
     tok = tdf.withColumn(
         "tok",
         fnd.transform_findings(
@@ -1023,7 +1029,7 @@ def q_inspect_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         }
     )
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir)
     out = dds.inspect_offsets(
         tdf,
         cfg.detectors,
