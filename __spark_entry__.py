@@ -93,22 +93,43 @@ def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
-def _transcripts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
-    """``spread=False`` for queries whose plan keeps the transcript view's
-    conv_id ROW_NUMBER window (they reference turn_idx) AND whose post-window
-    work is light: that window's own exchange already redistributes the rows,
-    and a second fan-out exchange in front of it doubles busy CPU for nothing
-    (measured on inspect_limits: 3.1 s / 24 CPU-s without vs 4.8 s / 47 CPU-s
-    with). Queries that never touch turn_idx get the window pruned away,
-    leaving the single-row-group serial scan as the only stage — those need
-    the fan-out. Measured exception kept on spread=True: the offsets/rules/
-    inline-UDF/chatlog queries, whose expensive Arrow or fold stage runs
-    AFTER the window exchange — AQE coalesces that ENSURE_REQUIREMENTS
-    exchange to ~4 partitions (64 MB advisory), capping the costly stage at
-    ~4 cores, while the explicit fan-out keeps it at full width (A/B:
-    text_tokenize 5.0 s without vs 2.0 s with)."""
+# the transcript view's conv_id derivation (the inner SELECT of
+# TRANSCRIPTS_FROM_EVENTS_SQL — that string is FROZEN because the oracle CTEs
+# embed it, so the expression is duplicated here for the repartition KEY
+# only; a drift would cost plan efficiency, never correctness, since the
+# partitioning key does not affect results)
+_CONV_KEY_SQL = (
+    "CASE WHEN user_id % 13 = 0 THEN 'conv-hot'"
+    " ELSE 'conv-' || LPAD(CAST(user_id % 997 AS STRING), 4, '0') END"
+)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str, spread: "str | bool" = "rows") -> DataFrame:
+    """Input fan-out policy for the single-row-group events file, decided
+    PER QUERY by A/B measurement (all three modes are partitioning-only —
+    results are identical by construction):
+
+    - ``"rows"`` (default): hash-repartition on event_id right after the
+      read. For queries whose plan prunes the turn_idx window (otherwise
+      fully serial) and for the UDF/fold-heavy ones, where the window's
+      ENSURE_REQUIREMENTS exchange is AQE-coalesced to ~4 partitions
+      (64 MB advisory) and would cap the expensive stage at ~4 cores
+      (A/B: text_tokenize 5.0 s unspread vs 2.0 s spread).
+    - ``"conv"``: repartition on the conv_id DERIVATION expression —
+      Catalyst's alias propagation recognises it as satisfying the
+      ROW_NUMBER window's required distribution, so the window reuses
+      this single pinned-width exchange and no coalescible
+      ENSURE_REQUIREMENTS exchange is planned at all (inspect_limits A/B:
+      2.5 s vs 3.1 s unspread vs 4.8 s with the extra rows exchange).
+      For window-bearing queries with light post-window work.
+    - ``False``: no fan-out (never measured best at sf1.0, kept for
+      completeness/experiments)."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if spread:
+    if spread == "conv":
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, F.expr(_CONV_KEY_SQL)
+        )
+    elif spread:
         df = _spread(spark, df, "event_id")
     df.createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
@@ -141,7 +162,7 @@ def _transcripts_cte() -> str:
 
 
 def q_deid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir, spread="conv")
     template = dds.DeidTemplate.from_file(
         os.path.join(HERE, "configs/deid_transcripts.json"), crypto_key=KEY
     )
@@ -156,7 +177,7 @@ def q_deid_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_inspect_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir, spread="conv")
     return dds.inspect(
         tdf, TRANSCRIPT_DETECTORS, ["text"], id_columns=["conv_id", "turn_idx"]
     ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
@@ -208,11 +229,11 @@ def q_crypto_roundtrip_siv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sess.session_stats(_transcripts(spark, sf_dir, spread=False), gap_seconds=1800)
+    return sess.session_stats(_transcripts(spark, sf_dir, spread="conv"), gap_seconds=1800)
 
 
 def q_agent_tool_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sess.agent_tool_correlate(_transcripts(spark, sf_dir, spread=False), max_lag_seconds=21600)
+    return sess.agent_tool_correlate(_transcripts(spark, sf_dir, spread="conv"), max_lag_seconds=21600)
 
 
 def q_tool_call_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +632,7 @@ def q_inspect_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
 
     det = dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir, spread="conv")
     return dds.inspect(
         tdf, [det], ["text"], id_columns=["conv_id", "turn_idx"]
     ).select("conv_id", "turn_idx", "field_id", "info_type_name", "likelihood", "quote")
@@ -629,7 +650,7 @@ def q_inspect_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dlp_dataflow_deidentification_spark.functions.infotypes import dictionary
 
     dets = [dictionary("TRANSACTION_TERM", DICT_WORDS, "POSSIBLE")] + TRANSCRIPT_DETECTORS
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir, spread="conv")
     return dds.inspect(
         tdf,
         dets,
@@ -650,7 +671,7 @@ def q_dlp_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-oracle coverage."""
     from dlp_dataflow_deidentification_spark.streaming import stateful
 
-    tdf = _transcripts(spark, sf_dir, spread=False)
+    tdf = _transcripts(spark, sf_dir, spread="conv")
     # n_buckets: super-key batching — pack_greedy still runs per key, but
     # one pandas dispatch per bucket instead of per conversation; output
     # identical to per-key mode (test_bucketed_batched_requests_equals_per_key)

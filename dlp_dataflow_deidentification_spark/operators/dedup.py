@@ -685,8 +685,19 @@ def connected_components(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     sig = _signature(edges)
+    par = spark.sparkContext.defaultParallelism
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(edges))
+        # adapt the checkpointed edge list's partitioning to its (known,
+        # shrinking) size: a near-converged graph of a few hundred edges
+        # otherwise schedules 32+ map tasks per round stage, and the round
+        # latency is pure task overhead. coalesce is narrow (no shuffle);
+        # skipped entirely when the edge count justifies full parallelism,
+        # so cluster-scale graphs keep their natural partitioning.
+        parts = sig[0] // 500_000 + 1
+        if parts < par:
+            nxt = nxt.coalesce(parts)
+        nxt = nxt.localCheckpoint(eager=True)
         nsig = _signature(nxt)
         edges, prev_sig, sig = nxt, sig, nsig
         if nsig == prev_sig:
