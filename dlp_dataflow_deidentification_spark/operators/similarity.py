@@ -422,21 +422,30 @@ def kmeans_centroids(
             F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1_000_000))
             < F.lit(int(train_fraction * 1_000_000))
         )
-    cents = [r.v for r in c.orderBy("id").limit(k).collect()]
-    if len(cents) < k:
-        raise ValueError(
-            f"training set has {len(cents)} vectors < k={k}; raise train_fraction"
-        )
-    for _ in range(iters):
-        assigned = c.select(_cell_of(F.col("v"), cents).alias("cell"), "v")
-        rows = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
-        # empty cells keep their previous centroid
-        cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    # the training set is read 1 + iters times (seed collect + each Lloyd
+    # round); persist it so an UNcached corpus (e.g. a union+perturbation
+    # plan) is not re-derived per pass — the sample is train_fraction of
+    # the data, the standard materialize-the-training-set step. Lineage is
+    # kept (lazy persist), and the cache is dropped before returning.
+    c = c.persist()
+    try:
+        cents = [r.v for r in c.orderBy("id").limit(k).collect()]
+        if len(cents) < k:
+            raise ValueError(
+                f"training set has {len(cents)} vectors < k={k}; raise train_fraction"
+            )
+        for _ in range(iters):
+            assigned = c.select(_cell_of(F.col("v"), cents).alias("cell"), "v")
+            rows = (
+                assigned.groupBy("cell")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            by_cell = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+            # empty cells keep their previous centroid
+            cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    finally:
+        c.unpersist()
     return cents
 
 
