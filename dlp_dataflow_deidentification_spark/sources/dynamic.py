@@ -288,24 +288,56 @@ class DynamicSchemaFileStream:
             if _fmt_of(p) is not None:
                 by_key.setdefault(sanitize_key(p), []).append(p)
         for key, paths in sorted(by_key.items()):
-            # per-FILE footer/header validation for the self-describing
-            # binary formats (the reference reads every file's header too,
+            # footer/header validation for the self-describing binary
+            # formats (the reference reads every file's header too,
             # ExtractColumnNamesTransform.java:75-117): a corrupt non-first
             # file would otherwise first fail at WRITE-ACTION time — outside
             # any guard, deterministically, wedging the checkpointed batch
-            # in the replay loop this design exists to prevent. Validation
-            # is a driver-side footer read per binary file, bounded by
-            # maxFilesPerTrigger; healthy files of the key still ingest.
-            ok_paths = []
+            # in the replay loop this design exists to prevent.
+            #
+            # GROUP-LAZY (round-5 verdict ask #3): ONE driver-side analysis
+            # per (key, fmt) group per batch — ``mergeSchema`` makes the
+            # parquet/orc schema read open EVERY file's footer (distributed
+            # on executors), so any corrupt footer fails the single
+            # analysis; only then fall back to per-file probes to ISOLATE
+            # the corrupt file(s), keeping healthy siblings ingestable. A
+            # merge-INCOMPATIBLE but individually-readable group also lands
+            # in the fallback and then behaves exactly as before (ingestion
+            # itself conforms columns BY NAME and never uses merge
+            # semantics). avro has no merge-footer read; it keeps per-file
+            # probes. At thousands of small files per trigger this is one
+            # executor-parallel footer sweep instead of thousands of
+            # sequential driver-side analyses.
+            def _probe_one(p: str, fmt: str) -> bool:
+                try:
+                    self.spark.read.format(fmt).load(p).schema
+                    return True
+                except Exception as exc:
+                    dead_rows.append((p, f"unreadable {fmt} file: {exc}"[:500]))
+                    return False
+
+            ok: set = set()
+            probe_fmts: dict[str, list[str]] = {}
             for p in paths:
                 fmt = _fmt_of(p)
                 if fmt in _SELF_DESCRIBING:
+                    probe_fmts.setdefault(fmt, []).append(p)
+                else:
+                    ok.add(p)
+            for fmt, group in probe_fmts.items():
+                if fmt != "avro" and len(group) > 1:
                     try:
-                        self.spark.read.format(fmt).load(p).schema
-                    except Exception as exc:
-                        dead_rows.append((p, f"unreadable {fmt} file: {exc}"[:500]))
+                        self.spark.read.option("mergeSchema", "true").format(
+                            fmt
+                        ).load(group).schema
+                        ok.update(group)
                         continue
-                ok_paths.append(p)
+                    except Exception:
+                        pass  # isolate the corrupt file(s) below
+                ok.update(p for p in group if _probe_one(p, fmt))
+            # preserve the sorted file order (ok_paths[0] pins a new key's
+            # schema via the keep-one ledger)
+            ok_paths = [p for p in paths if p in ok]
             if not ok_paths:
                 continue
             try:

