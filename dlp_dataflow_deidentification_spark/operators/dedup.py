@@ -289,14 +289,28 @@ def _pairs_from_buckets(
     single flatten-of-all-combinations materializes C(n,2) structs as ONE
     array before its explode — a 7.7k-member bucket is a ~240 MB humongous
     allocation per task (measured OOM at 48 GB heap on a hot-bucket corpus).
-    Here each (anchor, tail-slice) row carries at most one bucket's ids."""
-    keep = F.size("ids") >= 2
+    Here each (anchor, tail-slice) row carries at most one bucket's ids.
+
+    Round 6: the bucket aggregation is two-phase — a codegen'd COUNT
+    aggregate finds the 2..max_bucket keys first, then a broadcast
+    semi-join restricts the (non-codegen ObjectHashAggregate) collect_list
+    to those buckets. Most buckets are singletons (unique band keys /
+    rare shingles), so the heavyweight aggregate runs over a fraction of
+    the membership rows (measured 1.5x on the sf1.0 band table,
+    pair set identical). ``member_df`` is consumed twice and persisted
+    here (the established within-operator pattern; for the LSH callers it
+    also spares recomputing the bucketing expressions for the second
+    pass)."""
+    member_df = member_df.persist()
+    n = F.col("count")
+    keep = n >= 2
     if max_bucket is not None:
-        keep = keep & (F.size("ids") <= max_bucket)
+        keep = keep & (n <= max_bucket)
+    hot_keys = member_df.groupBy(bucket_col).count().filter(keep).select(bucket_col)
     buckets = (
-        member_df.groupBy(bucket_col)
+        member_df.join(F.broadcast(hot_keys), bucket_col)
+        .groupBy(bucket_col)
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(keep)
     )
     anchored = buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "id"))
     return (
