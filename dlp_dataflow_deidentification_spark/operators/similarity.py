@@ -545,9 +545,17 @@ def ivf_index_write(
         "cell"
     ).parquet(path)
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(_header_path(path))
+    # header as a JVM-literal plan, NOT createDataFrame(local rows): a
+    # parquet write from a Python-local-rows plan runs a Python-runner
+    # stage that costs ~3.7 s regardless of size (measured, 8 rows —
+    # createDataFrame itself and .collect() are fast; only .write pays),
+    # while posexplode over the one-SQL-literal matrix (_matrix_lit, the
+    # established bit-exact render: repr() round-trips doubles) writes the
+    # identical parquet in ~0.15 s. Verified byte-identical values.
+    hdr = spark.range(1).select(
+        F.posexplode(_matrix_lit(cents)).alias("pos", "centroid")
+    ).select((F.col("pos") + 1).cast("int").alias("cell"), "centroid")
+    hdr.coalesce(1).write.mode("overwrite").parquet(_header_path(path))
     return cents
 
 
